@@ -1,0 +1,99 @@
+"""Scalar text functions (SURVEY.md §2 group B).
+
+Hot-path policy: everything that CAN be a native Column expression is
+one (whole-stage codegen, no Python). The two exceptions are Arrow-
+batched pandas UDFs kept deliberately tiny, where byte-fidelity with
+Python ``re``/``int`` semantics is part of the spec:
+
+- ``slugify_udf`` — Python's ``\\w`` is Unicode-aware and must match the
+  golden oracle byte-for-byte (build_rdf.py:25-30 semantics); Java regex
+  ``\\w`` is ASCII-only, so a native translation would silently diverge
+  on non-ASCII entity names (common in web text).
+- ``age_literal_udf`` — reproduces CPython ``int()`` parsing including
+  its quirks (underscore separators, unicode digits), with the
+  raw-string fallback (build_rdf.py:198-203).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType, StructField, StructType
+
+from kgspark.constants import BASE, XSD_INT
+from kgspark.golden import parse_age_literal, slugify
+
+_AGE_STRUCT = StructType(
+    [StructField("lex", StringType()), StructField("dtype", StringType())]
+)
+
+
+@pandas_udf(StringType())
+def slugify_udf(names: pd.Series) -> pd.Series:
+    # Vectorized pandas str ops use Python's `re`, so \w/\s semantics are
+    # identical to the golden oracle.
+    s = names.fillna("").str.strip()
+    s = s.str.replace(r"\s+", "_", regex=True)
+    s = s.str.replace(r"[^\w]", "_", regex=True)
+    s = s.str.replace(r"_+", "_", regex=True).str.strip("_")
+    return s.where(s != "", "unnamed")
+
+
+@pandas_udf(_AGE_STRUCT)
+def age_literal_udf(age_raw: pd.Series) -> pd.DataFrame:
+    lex: list[str | None] = []
+    dtype: list[str | None] = []
+    for v in age_raw:
+        if v is None or v == "":
+            lex.append(None)
+            dtype.append(None)
+        else:
+            lx, dt = parse_age_literal(v)
+            lex.append(lx)
+            dtype.append(dt)
+    return pd.DataFrame({"lex": lex, "dtype": dtype})
+
+
+def mint_uri_col(label: Column) -> Column:
+    """URI = fixed namespace + slug (build_rdf.py:32-33)."""
+    return F.concat(F.lit(BASE), slugify_udf(label))
+
+
+def split_parts_col(raw: Column) -> Column:
+    """Trimmed, non-empty parts after splitting on ``[|;,]``."""
+    return F.filter(
+        F.transform(F.split(raw, r"[|;,]"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+
+
+def multi_or_raw_col(raw: Column) -> Column:
+    """Array form of the reference's ``split_multi(x) or [x]`` fallback:
+    empty cell → []; non-empty cell whose parts all trim away → [raw]."""
+    parts = split_parts_col(raw)
+    return (
+        F.when(raw == F.lit(""), F.array().cast("array<string>"))
+        .when(F.size(parts) > 0, parts)
+        .otherwise(F.array(raw))
+    )
+
+
+def trim_all(df, cols: list[str]):
+    """Trim + null→'' for every listed column (csv.DictReader + .strip())."""
+    return df.select(
+        *[c for c in df.columns if c not in cols],
+        *[F.trim(F.coalesce(F.col(c), F.lit(""))).alias(c) for c in cols],
+    )
+
+
+__all__ = [
+    "slugify_udf",
+    "age_literal_udf",
+    "mint_uri_col",
+    "split_parts_col",
+    "multi_or_raw_col",
+    "trim_all",
+    "XSD_INT",
+]

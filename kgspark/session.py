@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Design notes (scale target: 10^12-row web-page table, 1000-executor
+cluster; sandbox proxy: local[8]/local[32]):
+
+- AQE on everywhere: runtime coalescing of the many small post-shuffle
+  partitions at test scale, skew-join splitting at web scale (head
+  entities / head hosts are Zipfian).
+- Arrow enabled for the pandas-UDF extraction seams; batch size kept
+  moderate because each row can carry a multi-KB html payload.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count;
+  on a real cluster this is overridden (or left to AQE's
+  coalescePartitions with a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kgspark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with the engine's standard conf."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("KGSPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            inner = master[len("local[") : -1]
+            shuffle_partitions = 32 if inner == "*" else int(inner)
+        else:
+            shuffle_partitions = 200
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("KGSPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
