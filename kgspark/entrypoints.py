@@ -1,0 +1,995 @@
+"""Driver-contract query registry: Spark implementations + DuckDB oracles.
+
+Every operator from SURVEY.md §2 marked ★ gets a named entry here:
+``QUERIES[name]`` is a ``(spark, sf_dir) -> DataFrame`` callable and
+``ORACLES[name]`` the ANSI-SQL equivalent DuckDB runs on the same
+parquet tables. Column names/types are aligned pairwise because the
+driver's comparison hashes values under sorted column names.
+
+Conventions that keep the value-hash stable across engines:
+- money aggregates go through DECIMAL(18,2) then round(...,1)::double;
+- computed doubles are rounded to 6 dp on both sides;
+- every LIMIT sits on a total deterministic ORDER BY;
+- all hashing is md5-based (functions/hashing.py) on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kgspark.constants import BASE, RDF_TYPE
+from kgspark.functions.hashing import hseed_sql, tokens_sql
+from kgspark.functions.textfns import mint_uri_col, multi_or_raw_col, slugify_udf
+from kgspark.operators import dedup, relational_kg, similarity, textops
+from kgspark.operators.bfs import k_hop_nodes
+from kgspark.operators.cc import connected_components
+from kgspark.operators.fulltext import build_inverted_index, fulltext_top1
+from kgspark.operators.graph_build import graph_schema_summary
+from kgspark.operators.relational_kg import (
+    CLS_CUSTOMER,
+    CLS_NATION,
+    CLS_REGION,
+    CLS_SUPPLIER,
+    P_ACCTBAL,
+    P_LOCATED_IN,
+    P_NAME_R,
+    P_PART_OF,
+    P_SEGMENT,
+    build_geo_triples,
+    geo_edges,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# SQL fragment helpers (DuckDB mirrors of functions/textfns.py)
+# --------------------------------------------------------------------------
+
+def slug_sql(expr: str) -> str:
+    inner = (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"trim({expr}), '\\s+', '_', 'g'), '[^0-9A-Za-z_]', '_', 'g'),"
+        " '_+', '_', 'g'), '_')"
+    )
+    return f"coalesce(nullif({inner}, ''), 'unnamed')"
+
+
+def uri_sql(expr: str) -> str:
+    return f"'{BASE}' || {slug_sql(expr)}"
+
+
+NULLCOLS = "CAST(NULL AS VARCHAR) AS obj_dtype, CAST(NULL AS VARCHAR) AS obj_lang"
+
+
+def _geo_triples_sql() -> str:
+    def ent(table: str, name: str, cls: str) -> str:
+        return (
+            f"SELECT {uri_sql(name)} AS subj, '{RDF_TYPE}' AS pred, '{cls}' AS obj,"
+            f" 'uri' AS obj_kind, {NULLCOLS} FROM {table}"
+            f" UNION ALL SELECT {uri_sql(name)}, '{P_NAME_R}', trim({name}),"
+            f" 'literal', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM {table}"
+        )
+
+    return f"""
+SELECT DISTINCT subj, pred, obj, obj_kind, obj_dtype, obj_lang FROM (
+  {ent('customer', 'c_name', CLS_CUSTOMER)}
+  UNION ALL {ent('supplier', 's_name', CLS_SUPPLIER)}
+  UNION ALL {ent('nation', 'n_name', CLS_NATION)}
+  UNION ALL {ent('region', 'r_name', CLS_REGION)}
+  UNION ALL SELECT {uri_sql('c_name')}, '{P_LOCATED_IN}', {uri_sql('n_name')}, 'uri', {NULLCOLS}
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL SELECT {uri_sql('s_name')}, '{P_LOCATED_IN}', {uri_sql('n_name')}, 'uri', {NULLCOLS}
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL SELECT {uri_sql('n_name')}, '{P_PART_OF}', {uri_sql('r_name')}, 'uri', {NULLCOLS}
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL SELECT {uri_sql('c_name')}, '{P_ACCTBAL}', printf('%.2f', c_acctbal), 'literal', {NULLCOLS}
+    FROM customer
+  UNION ALL SELECT {uri_sql('c_name')}, '{P_SEGMENT}', c_mktsegment, 'literal', {NULLCOLS}
+    FROM customer
+)"""
+
+
+GEO_EDGES_SQL = """
+SELECT 's' || s_suppkey::VARCHAR AS src, 'LOCATED_IN' AS rel, 'n' || s_nationkey::VARCHAR AS dst FROM supplier
+UNION ALL
+SELECT 'n' || n_nationkey::VARCHAR, 'PART_OF', 'r' || n_regionkey::VARCHAR FROM nation
+"""
+
+CC_REACH_SQL = f"""
+WITH RECURSIVE
+  e AS ({GEO_EDGES_SQL}),
+  ud AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+  nodes AS (SELECT DISTINCT a AS id FROM ud),
+  reach(id, lbl) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT ud.b, reach.lbl FROM reach JOIN ud ON ud.a = reach.id
+  )
+"""
+
+
+# --------------------------------------------------------------------------
+# A/B-group: scans, scalar transforms
+# --------------------------------------------------------------------------
+
+@register(
+    "kg_triples_geo",
+    _geo_triples_sql(),
+)
+def kg_triples_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md EP1/A1/B1/B5/C1/C4 on the driver's relational tables."""
+    return build_geo_triples(spark, sf_dir)
+
+
+@register(
+    "slugify_uri",
+    f"SELECT p_partkey AS id, p_name AS name, {slug_sql('p_name')} AS slug,"
+    f" {uri_sql('p_name')} AS uri FROM part",
+)
+def slugify_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 slugify + B5 URI minting."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        slugify_udf(F.col("p_name")).alias("slug"),
+        mint_uri_col(F.col("p_name")).alias("uri"),
+    )
+
+
+@register(
+    "split_explode",
+    """
+WITH cells AS (
+  SELECT p_partkey AS id, p_brand || '|' || p_type || ';' || p_name AS cell FROM part
+)
+SELECT id, unnest(list_filter(list_transform(string_split_regex(cell, '[|;,]'),
+       t -> trim(t)), t -> t != '')) AS part
+FROM cells
+""",
+)
+def split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 multi-value split + explode."""
+    part = _t(spark, sf_dir, "part")
+    cell = F.concat(F.col("p_brand"), F.lit("|"), F.col("p_type"), F.lit(";"), F.col("p_name"))
+    return part.select(
+        F.col("p_partkey").alias("id"),
+        F.explode(multi_or_raw_col(cell)).alias("part"),
+    )
+
+
+@register(
+    "required_filter",
+    "SELECT o_orderkey, o_custkey FROM orders"
+    " WHERE trim(o_orderpriority) != '' AND o_orderstatus = 'O'",
+)
+def required_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 required-field row gate."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.trim(F.col("o_orderpriority")) != "") & (F.col("o_orderstatus") == "O")
+    ).select("o_orderkey", "o_custkey")
+
+
+@register(
+    "int_cast_fallback",
+    """
+SELECT p_partkey,
+       try_cast(split_part(p_brand, '#', 2) AS INTEGER) AS brand_num,
+       coalesce(CAST(try_cast(split_part(p_type, ' ', 1) AS INTEGER) AS VARCHAR),
+                split_part(p_type, ' ', 1)) AS type_lex
+FROM part
+""",
+)
+def int_cast_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 int cast with raw-string fallback."""
+    part = _t(spark, sf_dir, "part")
+    brand_num = F.split(F.col("p_brand"), "#").getItem(1).try_cast("int")
+    type_head = F.split(F.col("p_type"), " ").getItem(0)
+    return part.select(
+        "p_partkey",
+        brand_num.alias("brand_num"),
+        F.coalesce(type_head.try_cast("int").cast("string"), type_head).alias("type_lex"),
+    )
+
+
+@register(
+    "lower_filter",
+    "SELECT c_custkey, c_name FROM customer WHERE lower(c_mktsegment) = 'machinery'",
+)
+def lower_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 lowercase compare."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.lower(F.col("c_mktsegment")) == "machinery").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "range_filter",
+    "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal >= 9000",
+)
+def range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 numeric range filter."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_acctbal") >= 9000).select("c_custkey", "c_acctbal")
+
+
+@register(
+    "fulltext_top1",
+    f"""
+WITH inv AS (
+  SELECT c_custkey AS id, c_name AS name,
+         unnest(list_distinct({tokens_sql('c_name')})) AS token
+  FROM customer
+)
+SELECT id, name, score FROM (
+  SELECT id, name, count(DISTINCT token) AS score
+  FROM inv WHERE token IN ('customer', '000000042') GROUP BY id, name
+) ORDER BY score DESC, name ASC, id ASC LIMIT 1
+""",
+)
+def fulltext_top1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6/F1 full-text entity lookup, top-1 with deterministic tie-break."""
+    c = _t(spark, sf_dir, "customer")
+    inv = build_inverted_index(c, "c_custkey", "c_name")
+    return fulltext_top1(inv, "Customer 000000042")
+
+
+# --------------------------------------------------------------------------
+# C-group: dedup / first-wins / last-wins
+# --------------------------------------------------------------------------
+
+@register(
+    "first_wins",
+    """
+SELECT o_custkey, o_orderpriority AS first_priority FROM (
+  SELECT o_custkey, o_orderpriority,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 ordered-first aggregate (min(struct)), no window shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.min(F.struct("o_orderdate", "o_orderkey", "o_orderpriority")).alias("w"))
+        .select("o_custkey", F.col("w.o_orderpriority").alias("first_priority"))
+    )
+
+
+@register(
+    "last_wins",
+    """
+SELECT user_id, value AS last_value FROM (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 last-wins (MERGE ... SET overwrite) via max(struct)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("w"))
+        .select("user_id", F.col("w.value").alias("last_value"))
+    )
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT min(doc_id) AS doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       count(*) AS dup_count
+FROM documents GROUP BY 2
+""",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C4 exact dedup by content fingerprint."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "edge_dedup",
+    "SELECT DISTINCT l_suppkey AS src, 'SUPPLIES' AS rel, l_partkey AS dst FROM lineitem",
+)
+def edge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 edge MERGE (at most one edge per (src, rel, dst))."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_suppkey").alias("src"),
+        F.lit("SUPPLIES").alias("rel"),
+        F.col("l_partkey").alias("dst"),
+    ).dropDuplicates(["src", "rel", "dst"])
+
+
+# --------------------------------------------------------------------------
+# D-group: joins / traversals (anchor → broadcast join)
+# --------------------------------------------------------------------------
+
+_NATION7_ANCHOR_SQL = f"""
+  SELECT id FROM (
+    SELECT id, count(DISTINCT token) AS score, name
+    FROM (SELECT n_nationkey AS id, n_name AS name,
+                 unnest(list_distinct({tokens_sql('n_name')})) AS token FROM nation)
+    WHERE token IN ('nation', '7') GROUP BY id, name
+  ) ORDER BY score DESC, name ASC, id ASC LIMIT 1
+"""
+
+
+def _nation_anchor(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    inv = build_inverted_index(n, "n_nationkey", "n_name")
+    return fulltext_top1(inv, query).select(F.col("id").alias("anchor_key"))
+
+
+@register(
+    "traverse_1hop",
+    f"SELECT c_custkey, c_name FROM customer WHERE c_nationkey = ({_NATION7_ANCHOR_SQL})",
+)
+def traverse_1hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: full-text anchor top-1 → 1-hop traversal (broadcast join)."""
+    anchor = _nation_anchor(spark, sf_dir, "NATION 7")
+    c = _t(spark, sf_dir, "customer")
+    return c.join(
+        F.broadcast(anchor), c.c_nationkey == anchor.anchor_key
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "reverse_distinct",
+    "SELECT DISTINCT c_mktsegment AS segment FROM customer"
+    f" WHERE c_nationkey = ({_NATION7_ANCHOR_SQL})",
+)
+def reverse_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: reverse traversal + DISTINCT projection."""
+    anchor = _nation_anchor(spark, sf_dir, "NATION 7")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(anchor), c.c_nationkey == anchor.anchor_key)
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+
+
+@register(
+    "multihop_topk",
+    """
+SELECT c_name, o_orderkey, o_totalprice
+FROM region JOIN nation ON n_regionkey = r_regionkey
+  JOIN customer ON c_nationkey = n_nationkey
+  JOIN orders ON o_custkey = c_custkey
+WHERE r_name = 'EUROPE' AND o_orderstatus = 'O'
+ORDER BY c_name ASC, o_orderkey ASC LIMIT 25
+""",
+)
+def multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/F2: multi-hop conjunctive join, two-key sort, LIMIT."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_name", "o_orderkey", "o_totalprice")
+        .orderBy(F.asc("c_name"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "star_join",
+    f"""
+WITH t AS ({_geo_triples_sql()})
+SELECT t1.subj AS nation_uri, t2.obj AS nation_name
+FROM t t1 JOIN t t2 ON t1.subj = t2.subj
+WHERE t1.pred = '{P_PART_OF}' AND t1.obj = '{BASE}EUROPE' AND t2.pred = '{P_NAME_R}'
+""",
+)
+def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: same-subject star pattern as a triple-table self-join."""
+    t = build_geo_triples(spark, sf_dir)
+    t1 = t.filter((F.col("pred") == P_PART_OF) & (F.col("obj") == BASE + "EUROPE"))
+    t2 = t.filter(F.col("pred") == P_NAME_R)
+    return t1.alias("a").join(t2.alias("b"), F.col("a.subj") == F.col("b.subj")).select(
+        F.col("a.subj").alias("nation_uri"), F.col("b.obj").alias("nation_name")
+    )
+
+
+@register(
+    "attr_pivot",
+    f"""
+WITH t AS ({_geo_triples_sql()})
+SELECT subj AS id,
+  min(CASE WHEN pred = '{RDF_TYPE}' THEN obj END) AS type,
+  min(CASE WHEN pred = '{P_NAME_R}' THEN obj END) AS name,
+  min(CASE WHEN pred = '{P_ACCTBAL}' THEN obj END) AS acctbal,
+  min(CASE WHEN pred = '{P_SEGMENT}' THEN obj END) AS mktsegment
+FROM t GROUP BY subj
+""",
+)
+def attr_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: attribute pivot — triples → wide node table."""
+    t = build_geo_triples(spark, sf_dir)
+
+    def grab(pred: str):
+        return F.min(F.when(F.col("pred") == pred, F.col("obj")))
+
+    return t.groupBy(F.col("subj").alias("id")).agg(
+        grab(RDF_TYPE).alias("type"),
+        grab(P_NAME_R).alias("name"),
+        grab(P_ACCTBAL).alias("acctbal"),
+        grab(P_SEGMENT).alias("mktsegment"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E/F-group: aggregations, sorts, top-k
+# --------------------------------------------------------------------------
+
+@register(
+    "agg_count_avg",
+    """
+SELECT n_name, count(DISTINCT c_custkey) AS total_customers,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))) / count(*), 1) AS DOUBLE) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def agg_count_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: count(DISTINCT) + round(avg, 1) — exact decimal arithmetic."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("total_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")) / F.count("*"), 1
+            ).cast("double").alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "count_distinct_sample",
+    """
+SELECT b.brand, t.total_brands
+FROM (SELECT DISTINCT p_brand AS brand FROM part ORDER BY brand LIMIT 5) b
+CROSS JOIN (SELECT count(DISTINCT p_brand) AS total_brands FROM part) t
+""",
+)
+def count_distinct_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: count-unique + deterministic k-sample."""
+    p = _t(spark, sf_dir, "part")
+    sample = p.select(F.col("p_brand").alias("brand")).distinct().orderBy("brand").limit(5)
+    total = p.agg(F.countDistinct("p_brand").alias("total_brands"))
+    return sample.crossJoin(F.broadcast(total))
+
+
+@register(
+    "degree_stats",
+    """
+WITH pairs AS (SELECT DISTINCT 's' || l_suppkey::VARCHAR AS a, 'p' || l_partkey::VARCHAR AS b FROM lineitem),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs
+  ) GROUP BY node
+)
+SELECT round(avg(degree), 6) AS avg_degree, max(degree) AS max_degree, count(*) AS node_count FROM deg
+""",
+)
+def degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: avg/max total degree over a bipartite edge list."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    ends = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.agg(
+        F.round(F.avg("degree"), 6).alias("avg_degree"),
+        F.max("degree").alias("max_degree"),
+        F.count("*").alias("node_count"),
+    )
+
+
+@register(
+    "topk_orders",
+    "SELECT o_orderkey, o_totalprice FROM orders"
+    " ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: top-k with two-key deterministic sort (TakeOrderedAndProject)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "window_latest_event",
+    """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-analog: per-key top-1 by window ranking."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# G-group: graph operators
+# --------------------------------------------------------------------------
+
+@register(
+    "connected_components",
+    CC_REACH_SQL + "SELECT id, min(lbl) AS component FROM reach GROUP BY id",
+)
+def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 ◆: iterative hash-min CC on the supplier-nation-region forest."""
+    edges = geo_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("id"))
+    return connected_components(nodes, edges, "id")
+
+
+@register(
+    "component_stats",
+    CC_REACH_SQL
+    + """,
+assign AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+sizes AS (SELECT component, count(*) AS sz FROM assign GROUP BY component)
+SELECT count(*) AS component_count, max(sz) AS largest_component_size FROM sizes
+""",
+)
+def component_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6/G4: component count + largest component size."""
+    edges = geo_edges(spark, sf_dir)
+    assign = connected_components(edges.select(F.col("src").alias("id")), edges, "id")
+    sizes = assign.groupBy("component").agg(F.count("*").alias("sz"))
+    return sizes.agg(
+        F.count("*").alias("component_count"),
+        F.max("sz").alias("largest_component_size"),
+    )
+
+
+@register(
+    "bfs_khop",
+    f"""
+WITH RECURSIVE
+  e AS ({GEO_EDGES_SQL}),
+  ud AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+  walk(node, depth) AS (
+    SELECT 'r0', 0
+    UNION
+    SELECT ud.b, walk.depth + 1 FROM walk JOIN ud ON ud.a = walk.node WHERE walk.depth < 2
+  )
+SELECT node, depth FROM (SELECT node, min(depth) AS depth FROM walk GROUP BY node)
+ORDER BY depth, node LIMIT 50
+""",
+)
+def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 ◆: k-hop BFS subgraph, deterministic (depth, node) cap."""
+    edges = geo_edges(spark, sf_dir)
+    return k_hop_nodes(edges, "r0", max_depth=2, max_nodes=50, directed=False)
+
+
+@register(
+    "graph_schema",
+    """
+WITH nodes AS (
+  SELECT 's' || s_suppkey::VARCHAR AS id, 'Supplier' AS type FROM supplier
+  UNION ALL SELECT 'n' || n_nationkey::VARCHAR, 'Nation' FROM nation
+  UNION ALL SELECT 'r' || r_regionkey::VARCHAR, 'Region' FROM region
+),
+e AS (""" + GEO_EDGES_SQL + """)
+SELECT DISTINCT ns.type AS src_type, e.rel, nd.type AS dst_type
+FROM e JOIN nodes ns ON e.src = ns.id JOIN nodes nd ON e.dst = nd.id
+""",
+)
+def graph_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1: schema introspection — distinct (src_type, rel, dst_type)."""
+    s = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("id"), F.lit("Supplier").alias("type")
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("id"), F.lit("Nation").alias("type")
+    )
+    r = _t(spark, sf_dir, "region").select(
+        F.concat(F.lit("r"), F.col("r_regionkey")).alias("id"), F.lit("Region").alias("type")
+    )
+    nodes = s.unionByName(n).unionByName(r)
+    return graph_schema_summary(nodes, geo_edges(spark, sf_dir))
+
+
+@register(
+    "graph_stats_basic",
+    """
+WITH e AS (""" + GEO_EDGES_SQL + """),
+pairs AS (SELECT DISTINCT src, dst FROM e),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+SELECT (SELECT count(*) FROM nodes) AS node_count,
+       (SELECT count(*) FROM pairs) AS edge_count,
+       (SELECT count(DISTINCT rel) FROM e) AS relation_type_count
+""",
+)
+def graph_stats_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3: node/edge counts + distinct relation types, one row."""
+    e = geo_edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("id")).unionByName(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    pairs = e.select("src", "dst").distinct()
+    return (
+        nodes.agg(F.count("*").alias("node_count"))
+        .crossJoin(pairs.agg(F.count("*").alias("edge_count")))
+        .crossJoin(e.agg(F.countDistinct("rel").alias("relation_type_count")))
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data ops: dedup / similarity / text analysis
+# --------------------------------------------------------------------------
+
+def shingles_sql(text_expr: str, n: int) -> str:
+    """DuckDB mirror of operators/dedup.word_shingles_col."""
+    toks = tokens_sql(text_expr)
+    if n == 1:
+        return f"list_distinct({toks})"
+    terms = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return (
+        f"(SELECT CASE WHEN len(t) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len(t) - {n - 2}), i -> {terms})) "
+        f"ELSE [] END FROM (SELECT {toks} AS t))"
+    )
+
+
+_MINHASH_K = 16
+_LSH_BANDS = 4
+_SHINGLE_N = 3
+
+_MINHASH_SQL_BASE = f"""
+WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+sigs AS (
+  SELECT doc_id,
+         {', '.join(f"min({hseed_sql(j, 'shingle')}) AS mh_{j}" for j in range(_MINHASH_K))}
+  FROM sh GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "minhash_signatures",
+    _MINHASH_SQL_BASE + "SELECT * FROM sigs",
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 md5-family hashes over 3-gram shingles)."""
+    return dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), num_hashes=_MINHASH_K, shingle_n=_SHINGLE_N
+    )
+
+
+def _lsh_bands_sql() -> str:
+    rows = _MINHASH_K // _LSH_BANDS
+    branches = []
+    for b in range(_LSH_BANDS):
+        sig = " || '_' || ".join(
+            f"mh_{b * rows + r}::VARCHAR" for r in range(rows)
+        )
+        branches.append(f"SELECT doc_id, {b} AS band, {sig} AS band_sig FROM sigs")
+    return " UNION ALL ".join(branches)
+
+
+@register(
+    "minhash_lsh_pairs",
+    _MINHASH_SQL_BASE
+    + f""",
+bands AS ({_lsh_bands_sql()})
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+""",
+)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (4 bands × 4 rows)."""
+    sigs = dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), num_hashes=_MINHASH_K, shingle_n=_SHINGLE_N
+    )
+    return dedup.lsh_candidate_pairs(sigs, num_hashes=_MINHASH_K, bands=_LSH_BANDS)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+) WHERE jaccard >= 0.5
+""",
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (the LSH ground truth)."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, shingle_n=_SHINGLE_N
+    )
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    from kgspark.functions.hashing import h32_sql
+
+    sums = ", ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(bits)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN s_{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents
+),
+th AS (SELECT doc_id, {h32_sql('token')} AS th FROM tok),
+sums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
+SELECT doc_id, {recompose} AS simhash FROM sums
+"""
+
+
+@register("simhash", _simhash_sql())
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash content signatures."""
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+_COS_SQL = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])"
+    " * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cos,
+         row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id != a.vec_id
+) WHERE rank <= 10
+""",
+)
+def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the first 5 query vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries, k=10)
+
+
+@register(
+    "ann_neardup_pairs",
+    f"""
+SELECT id_a, id_b, cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_SQL}, 6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cos >= 0.35
+""",
+)
+def ann_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.35)."""
+    return similarity.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT a.vec_id, b.centroid_id, {_COS_SQL.replace('b.embedding', 'b.embedding')} AS cos,
+         row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.centroid_id ASC) AS rn
+  FROM embeddings a JOIN c b ON true
+),
+asg AS (SELECT vec_id, centroid_id FROM scored WHERE rn = 1),
+q AS (SELECT a.vec_id AS query_id, asg.centroid_id, a.embedding
+      FROM embeddings a JOIN asg ON asg.vec_id = a.vec_id WHERE a.vec_id < 5),
+v AS (SELECT a.vec_id AS neighbor_id, asg.centroid_id, a.embedding
+      FROM embeddings a JOIN asg ON asg.vec_id = a.vec_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT a.query_id, b.neighbor_id, round({_COS_SQL}, 6) AS cos,
+         row_number() OVER (PARTITION BY a.query_id ORDER BY {_COS_SQL} DESC, b.neighbor_id ASC) AS rank
+  FROM q a JOIN v b ON a.centroid_id = b.centroid_id AND b.neighbor_id != a.query_id
+) WHERE rank <= 10
+""",
+)
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-10 (nprobe=1, centroids = vec_id % 100 == 0)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, centroids, k=10)
+
+
+_EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in textops.LANG_STOPWORDS["en"]) + "]"
+
+
+@register(
+    "quality_features",
+    f"""
+WITH base AS (
+  SELECT doc_id, text, {tokens_sql('text')} AS toks,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, x -> length(x)))::BIGINT / len(toks)
+         ELSE 0.0 END AS avg_tok,
+    CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, t -> list_contains({_EN_STOP_SQL}, t))) / len(toks)
+         ELSE 0.0 END AS stop_ratio,
+    least(len(toks) / 50.0, 1.0) AS length_score
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(avg_tok, 6) AS avg_token_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(0.4 * length_score + 0.3 * (1.0 - punct_ratio)
+             + 0.3 * least(stop_ratio * 5.0, 1.0), 6) AS quality_score
+FROM feat
+""",
+)
+def quality_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring (length/punct/stopword heuristics)."""
+    return textops.quality_features(_t(spark, sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(textops.LANG_STOPWORDS)
+    hits = ", ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in textops.LANG_STOPWORDS[lg])
+        + f"], t))) AS hits_{lg}"
+        for lg in langs
+    )
+    greatest = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN mx = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lg} = mx THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+h AS (SELECT doc_id, {hits} FROM toks),
+m AS (SELECT *, {greatest} AS mx FROM h)
+SELECT doc_id, {case} AS pred_lang, mx AS hits FROM m
+"""
+
+
+@register("lang_id", _lang_id_sql())
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language identification."""
+    return textops.language_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint"
+    " FROM documents",
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting (md5 of normalized text)."""
+    return textops.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_count",
+    f"""
+SELECT doc_id,
+       len({tokens_sql('text')}) AS n_tokens,
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS n_ws_tokens
+FROM documents
+""",
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: regex tokens + whitespace tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    from kgspark.operators.fulltext import tokenize_col
+
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.size(tokenize_col(F.col("text"))).alias("n_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+    )
+
+
+_GAZETTEER = ["customer", "order", "part", "supplier", "join", "filter", "window", "stream"]
+
+
+@register(
+    "gazetteer_mentions",
+    f"""
+SELECT doc_id, token AS term, count(*) AS n_mentions
+FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents)
+WHERE token IN ({', '.join(f"'{t}'" for t in _GAZETTEER)})
+GROUP BY doc_id, token
+""",
+)
+def gazetteer_mentions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1-lite: gazetteer NER mention counting over the documents table."""
+    from kgspark.operators.fulltext import tokenize_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokenize_col(F.col("text"))).alias("term"))
+        .filter(F.col("term").isin(_GAZETTEER))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("n_mentions"))
+    )

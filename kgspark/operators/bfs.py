@@ -1,0 +1,75 @@
+"""k-hop BFS subgraph extraction (SURVEY.md §2 G5 ◆).
+
+Re-expresses the reference's queue-based traversal
+(``/root/reference/kg_rag/utils/graph_utils.py:219-261``: max_depth 2,
+max_nodes 50, visited set) as iterative frontier joins. The reference's
+FIFO node cap is single-machine semantics; our spec caps
+deterministically by ``(depth, node_id)`` order, which is
+order-independent and therefore reproducible on any cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_hop_nodes(
+    edges: DataFrame,
+    start_node: str,
+    max_depth: int = 2,
+    max_nodes: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Nodes reachable from ``start_node`` within ``max_depth`` hops.
+
+    Returns ``(node, depth)`` with depth = first-visit distance, capped
+    at ``max_nodes`` rows in (depth, node) order.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        e = e.unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    e = e.distinct().localCheckpoint()
+
+    visited = spark.createDataFrame(
+        [(start_node, 0)], schema="node string, depth int"
+    ).localCheckpoint()
+    frontier = visited
+
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier, e.a == frontier.node)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("depth", F.lit(depth))
+        )
+        frontier = nxt.localCheckpoint()
+        if frontier.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(frontier).localCheckpoint()
+
+    return visited.orderBy("depth", "node").limit(max_nodes)
+
+
+def k_hop_subgraph(
+    edges: DataFrame,
+    start_node: str,
+    max_depth: int = 2,
+    max_nodes: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+    rel: str | None = "rel",
+) -> tuple[DataFrame, DataFrame]:
+    """(nodes, induced edges) of the capped k-hop neighborhood."""
+    nodes = k_hop_nodes(edges, start_node, max_depth, max_nodes, src, dst)
+    keep = nodes.select("node")
+    sub_edges = (
+        edges.join(keep.withColumnRenamed("node", src), src)
+        .join(keep.withColumnRenamed("node", dst), dst)
+    )
+    cols = [src, dst] + ([rel] if rel and rel in edges.columns else [])
+    return nodes, sub_edges.select(*cols)

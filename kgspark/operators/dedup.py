@@ -1,0 +1,199 @@
+"""Document deduplication suite (training-data pipeline operators).
+
+Exact, MinHash+LSH, SimHash and n-gram-Jaccard dedup over a documents
+table ``(doc_id, text, ...)``. The reference repo's dedup analog is
+entity/triple MERGE semantics (SURVEY.md §2 C1-C5); these operators are
+the web-scale generalization a Common-Crawl KG pipeline needs upstream
+of extraction.
+
+Scale design:
+- Exact dedup: hash-groupBy on a 128-bit content fingerprint — one
+  shuffle on uniformly-distributed keys.
+- MinHash/LSH: shingle→minhash signatures via a single explode +
+  groupBy with k algebraic min aggregates (map-side partial agg), then
+  band-bucket self-join — candidate pairs only, never the full n².
+- SimHash: 32 algebraic sum aggregates over exploded tokens, then
+  bucket join on the hash for near-dup candidates.
+- All hashing is md5-based (functions/hashing.py) so the DuckDB oracle
+  can reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kgspark.functions.hashing import h32_col, hseed_col
+from kgspark.operators.fulltext import tokenize_col
+
+
+def normalize_text_col(col: Column) -> Column:
+    """Whitespace-collapsed, lowercased, trimmed content key."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per identical normalized text.
+
+    Returns (doc_id, fingerprint, dup_count). Grouping key is the md5
+    fingerprint, not the text itself, so shuffle rows stay small.
+    """
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(normalize_text_col(F.col(text_col)).cast("binary")).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("doc_id", "fingerprint", "dup_count")
+    )
+
+
+def word_shingles_col(text: Column, n: int = 3) -> Column:
+    """Space-joined word n-gram shingles (distinct), [] if < n tokens."""
+    toks = tokenize_col(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}) — min over shingles of the j-th hash.
+
+    One explode + one groupBy with k algebraic mins: partial aggregation
+    keeps the shuffle at k longs per doc regardless of doc length.
+    """
+    shingled = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles_col(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    aggs = [
+        F.min(hseed_col(j, F.col("shingle"))).alias(f"mh_{j}") for j in range(num_hashes)
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: docs sharing ≥1 LSH band.
+
+    Band signature = concat of the band's minhash values; the self-join
+    runs per-bucket, so cost is Σ bucket² not n².
+    """
+    rows = num_hashes // bands
+    per_band = []
+    for b in range(bands):
+        sig = F.concat_ws(
+            "_", *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+        )
+        per_band.append(
+            signatures.select(
+                F.col("doc_id"), F.lit(b).alias("band"), sig.alias("band_sig")
+            )
+        )
+    banded = per_band[0]
+    for p in per_band[1:]:
+        banded = banded.unionByName(p)
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Shingle-inverted self-join computes |A∩B| without materializing n²
+    pairs; |A∪B| = |A|+|B|-|A∩B|. The exact (quadratic-in-collisions)
+    baseline that MinHash/LSH approximates.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles_col(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document over its token multiset.
+
+    bit_i(doc) = 1 iff Σ_tokens (±1 by token-hash bit i) > 0; computed
+    as `bits` algebraic sums over one exploded token stream.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_col(F.col(text_col))).alias("token"),
+    ).withColumn("th", h32_col(F.col("token")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(bits)
+    ]
+    summed = toks.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"s_{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return summed.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_dup_groups(sim: DataFrame) -> DataFrame:
+    """Docs sharing an identical simhash → near-dup buckets."""
+    return (
+        sim.groupBy("simhash")
+        .agg(F.count("*").alias("bucket_size"), F.min("doc_id").alias("rep_doc"))
+        .filter(F.col("bucket_size") > 1)
+    )

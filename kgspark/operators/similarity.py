@@ -1,0 +1,140 @@
+"""Embedding similarity search (training-data pipeline operators).
+
+Brute-force cosine top-k as the correctness baseline, and an
+IVF-bucketed variant as the scale path, over an embeddings table
+``(vec_id, embedding: array<float>, ...)``.
+
+All arithmetic is native Column expressions in double precision
+(``zip_with`` + ``aggregate``), whole-stage codegen'd — no Python in
+the hot path. cosine(a,b) = dot(a,b) / sqrt(dot(a,a)·dot(b,b)), the
+formula the DuckDB oracle mirrors term-for-term.
+
+Scale notes:
+- brute force is O(n·q): fine when the query set is broadcast-small.
+- IVF: assign vectors to their nearest of K centroids once (one
+  broadcast join), then search only the probe's centroid bucket —
+  the standard recall/cost trade; bucket assignment is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot_col(a, b) / F.sqrt(dot_col(a, a) * dot_col(b, b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """For every query vector: top-k nearest by cosine (self excluded).
+
+    ``queries`` must be broadcast-small; the join is a broadcast
+    nested-loop over the (distributed) vector table.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec"))
+    scored = (
+        v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_col(F.col("q_vec"), F.col("v_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (a < b) pairs with cosine ≥ threshold (embedding near-dup)."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine
+    (deterministic tie-break on centroid id). Centroids broadcast."""
+    c = centroids.select(
+        F.col(centroid_id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec")
+    ).join(F.broadcast(c)).withColumn(
+        "cos", cosine_col(F.col("v_vec"), F.col("c_vec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", F.col("v_vec").alias("embedding"))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k searching only the query's centroid bucket (nprobe=1)."""
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    q_assigned = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("centroid_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    scored = (
+        assigned.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(q_assigned), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_col(F.col("q_vec"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
