@@ -1,0 +1,157 @@
+"""End-to-end KG-construction pipeline with manifest-gated resume.
+
+The north_rule flow: web pages → text extraction → fact/triple
+extraction → entity linking → CC canonicalization → deduplicated
+triples + node/edge tables, every stage checkpointed to Parquet with a
+lineage manifest (input snapshot id, buckets done, row counts) so a
+killed run resumes from the last completed bucket set idempotently.
+
+Scale layout decisions (10^12-doc target):
+- stage-1 work is bucketed by ``pmod(xxhash64(url), n_buckets)`` —
+  url-hash is uniform, so buckets are balanced even though url-HOSTS
+  are Zipf-skewed; the bucket column doubles as the resume unit and
+  the write partition.
+- triples are written repartitioned by (pred, salted subj) — predicate
+  alone would put every TREATS triple in few partitions; the salt
+  spreads head entities (hub providers) across ``salt_buckets``
+  partitions per predicate.
+- linking/canonicalization dimension tables (aliases, canonical
+  entities) broadcast; CC runs on the (tiny) distinct-mention graph,
+  not the fact stream.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgspark.extract.ner import extract_facts
+from kgspark.operators.graph_build import edges_from_triples, nodes_from_triples
+from kgspark.operators.linking import link_facts
+from kgspark.operators.rdf_build import build_triples
+from kgspark.sources import manifests
+
+
+def bucket_col(url_col, n_buckets: int):
+    return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    webpages: DataFrame,
+    aliases: DataFrame,
+    out_dir: str,
+    snapshot: str,
+    canonicals: DataFrame | None = None,
+    n_buckets: int = 16,
+    salt_buckets: int = 8,
+    shuffle_partitions: int | None = None,
+) -> dict:
+    """Run (or resume) the full pipeline; returns stage metrics."""
+    metrics: dict = {"snapshot": snapshot}
+
+    # ---- stage 1: extraction (bucketed, resumable) ----------------------
+    t0 = time.time()
+    all_buckets = list(range(n_buckets))
+    todo = manifests.pending_buckets(out_dir, "extract", snapshot, all_buckets)
+    if todo:
+        src = webpages.withColumn("bucket", bucket_col(F.col("url"), n_buckets))
+        if len(todo) < n_buckets:
+            src = src.filter(F.col("bucket").isin(todo))
+        facts = extract_facts(src.select("url", "warc_ts", "html", "text", "lang"))
+        facts = facts.withColumn("bucket", bucket_col(F.col("url"), n_buckets))
+        (
+            facts.repartition(len(todo), "bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(f"{out_dir}/facts")
+        )
+        done_counts = {
+            r["bucket"]: r["n"]
+            for r in spark.read.parquet(f"{out_dir}/facts")
+            .filter(F.col("bucket").isin(todo))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for b in todo:  # empty buckets still count as done
+            done_counts.setdefault(b, 0)
+        manifests.record_buckets(
+            out_dir, "extract", snapshot, done_counts, {"n_buckets": n_buckets}
+        )
+    metrics["extract"] = {
+        "skipped_buckets": n_buckets - len(todo),
+        "processed_buckets": len(todo),
+        "sec": round(time.time() - t0, 3),
+    }
+
+    facts = spark.read.parquet(f"{out_dir}/facts")
+
+    # ---- stage 2: entity linking + CC canonicalization ------------------
+    t0 = time.time()
+    m = manifests.read_manifest(out_dir, "link")
+    if m is None or m.get("snapshot") != snapshot:
+        linked = link_facts(facts, aliases, canonicals, "Provider")
+        linked.write.mode("overwrite").parquet(f"{out_dir}/linked")
+        n = spark.read.parquet(f"{out_dir}/linked").count()
+        manifests.write_manifest(
+            out_dir, "link", {"stage": "link", "snapshot": snapshot, "rows": n}
+        )
+        metrics["link"] = {"rows": n, "sec": round(time.time() - t0, 3)}
+    else:
+        metrics["link"] = {"rows": m.get("rows"), "sec": 0.0, "resumed": True}
+
+    linked = spark.read.parquet(f"{out_dir}/linked")
+
+    # ---- stage 3: triple build (set-dedup, salted write) -----------------
+    t0 = time.time()
+    m = manifests.read_manifest(out_dir, "triples")
+    if m is None or m.get("snapshot") != snapshot:
+        ordered = linked.withColumn(
+            "row_idx", F.struct("warc_ts", "url", "sent_idx")
+        )
+        triples = build_triples(ordered, order_col="row_idx")
+        (
+            triples.repartition(
+                salt_buckets, F.col("pred"), F.pmod(F.xxhash64("subj"), F.lit(salt_buckets))
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/triples")
+        )
+        n = spark.read.parquet(f"{out_dir}/triples").count()
+        manifests.write_manifest(
+            out_dir,
+            "triples",
+            {"stage": "triples", "snapshot": snapshot, "rows": n,
+             "conf": {"salt_buckets": salt_buckets}},
+        )
+        metrics["triples"] = {"rows": n, "sec": round(time.time() - t0, 3)}
+    else:
+        metrics["triples"] = {"rows": m.get("rows"), "sec": 0.0, "resumed": True}
+
+    triples = spark.read.parquet(f"{out_dir}/triples")
+
+    # ---- stage 4: property-graph materialize -----------------------------
+    t0 = time.time()
+    m = manifests.read_manifest(out_dir, "graph")
+    if m is None or m.get("snapshot") != snapshot:
+        nodes = nodes_from_triples(triples)
+        edges = edges_from_triples(triples)
+        nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
+        edges.write.mode("overwrite").parquet(f"{out_dir}/edges")
+        nn = spark.read.parquet(f"{out_dir}/nodes").count()
+        ne = spark.read.parquet(f"{out_dir}/edges").count()
+        manifests.write_manifest(
+            out_dir,
+            "graph",
+            {"stage": "graph", "snapshot": snapshot, "nodes": nn, "edges": ne},
+        )
+        metrics["graph"] = {"nodes": nn, "edges": ne, "sec": round(time.time() - t0, 3)}
+    else:
+        metrics["graph"] = {
+            "nodes": m.get("nodes"), "edges": m.get("edges"), "sec": 0.0, "resumed": True,
+        }
+
+    return metrics

@@ -1,0 +1,70 @@
+"""Connected-components property tests (SURVEY.md §5.5)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from kgspark.operators.bfs import k_hop_nodes
+from kgspark.operators.cc import connected_components
+
+
+def _py_components(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in nodes:
+        comp[n] = find(n)
+    # canonical label = min member id
+    groups = {}
+    for n, r in comp.items():
+        groups.setdefault(r, []).append(n)
+    return {n: min(members) for r, members in groups.items() for n in members}
+
+
+def test_cc_matches_union_find(spark):
+    rng = random.Random(3)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(90)]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.id: r.component for r in connected_components(ndf, edf, "id").collect()}
+    assert got == _py_components(nodes, edges)
+
+
+def test_cc_single_chain_long_diameter(spark):
+    n = 40
+    nodes = [f"v{i:02d}" for i in range(n)]
+    edges = [(nodes[i], nodes[i + 1]) for i in range(n - 1)]
+    ndf = spark.createDataFrame([(x,) for x in nodes], "id string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = connected_components(ndf, edf, "id")
+    assert got.select("component").distinct().count() == 1
+    assert got.filter(F.col("component") == "v00").count() == n
+
+
+def test_cc_includes_bare_edge_endpoints(spark):
+    ndf = spark.createDataFrame([("a",)], "id string")
+    edf = spark.createDataFrame([("x", "y")], "src string, dst string")
+    got = {r.id: r.component for r in connected_components(ndf, edf, "id").collect()}
+    assert got == {"a": "a", "x": "x", "y": "x"}
+
+
+def test_bfs_depth_and_cap(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "e")]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.node, r.depth) for r in k_hop_nodes(edf, "a", max_depth=2).collect()}
+    assert got == {("a", 0), ("b", 1), ("e", 1), ("c", 2)}
+    capped = k_hop_nodes(edf, "a", max_depth=3, max_nodes=3)
+    assert [r.node for r in capped.collect()] == ["a", "b", "e"]

@@ -1,0 +1,43 @@
+"""Entity-linking tiers: exact, alias, embedding, unresolved."""
+
+from __future__ import annotations
+
+from kgspark.operators.linking import canonicalize_by_components, resolve_mentions
+
+
+def _run(spark, mentions, aliases, canonicals):
+    m = spark.createDataFrame([(x,) for x in mentions], "name string")
+    a = spark.createDataFrame(aliases, "alias string, canonical string")
+    c = spark.createDataFrame([(x,) for x in canonicals], "canonical string")
+    res = resolve_mentions(m, a, c)
+    return {r.name: (r.resolved, r.method) for r in res.collect()}, (m, a, c, res)
+
+
+def test_resolution_tiers(spark):
+    canonicals = ["Dr. John Smith", "Dr. Jane Poe"]
+    aliases = [("Dr. Smith", "Dr. John Smith"), ("Dr. J. Poe", "Dr. Jane Poe")]
+    mentions = [
+        "Dr. John Smith",   # exact
+        "Dr. Smith",        # alias
+        "Dr. Jon Smith",    # typo → embedding
+        "Prof. Zig Zag",    # unresolvable → self
+    ]
+    got, _ = _run(spark, mentions, aliases, canonicals)
+    assert got["Dr. John Smith"] == ("Dr. John Smith", "exact")
+    assert got["Dr. Smith"] == ("Dr. John Smith", "alias")
+    assert got["Dr. Jon Smith"] == ("Dr. John Smith", "embedding")
+    assert got["Prof. Zig Zag"] == ("Prof. Zig Zag", None)
+
+
+def test_component_canonicalization(spark):
+    canonicals = ["Dr. John Smith"]
+    aliases = [("Dr. Smith", "Dr. John Smith")]
+    mentions = ["Dr. Smith", "Dr. Jon Smith", "Dr. John Smith", "Someone Else"]
+    _, (m, a, c, res) = _run(spark, mentions, aliases, canonicals)
+    mapping = {
+        r.name: r.canonical_id for r in canonicalize_by_components(res, c).collect()
+    }
+    assert mapping["Dr. Smith"] == "Dr. John Smith"
+    assert mapping["Dr. Jon Smith"] == "Dr. John Smith"
+    assert mapping["Dr. John Smith"] == "Dr. John Smith"
+    assert mapping["Someone Else"] == "Someone Else"

@@ -1,0 +1,80 @@
+"""End-to-end pipeline: triple P/R vs golden + idempotent resume."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+from pyspark.sql import functions as F
+
+from kgspark import datagen, golden
+from kgspark.plans.pipeline import run_pipeline
+from kgspark.sources import manifests
+from tests.conftest import triple_set
+
+
+def _corpus_and_golden():
+    corpus = datagen.generate_corpus(n_pages=150, seed=5)
+    expected = golden.fact_rows_to_triples(corpus.fact_rows)
+    return corpus, expected
+
+
+def test_pipeline_end_to_end_pr(spark, tmp_path):
+    corpus, expected = _corpus_and_golden()
+    pages, aliases, canonicals = datagen.corpus_to_spark(spark, corpus)
+    out = str(tmp_path / "kg")
+    metrics = run_pipeline(
+        spark, pages, aliases, out, snapshot="snap-1", canonicals=canonicals, n_buckets=4
+    )
+
+    produced = triple_set(spark.read.parquet(f"{out}/triples"))
+    p, r = golden.precision_recall(produced, expected)
+    assert (p, r) == (1.0, 1.0), (
+        f"P={p} R={r}; missing={sorted(expected - produced)[:3]}"
+        f" extra={sorted(produced - expected)[:3]}"
+    )
+    assert metrics["extract"]["processed_buckets"] == 4
+
+    # graph materialize sanity: every edge endpoint exists in nodes
+    nodes = spark.read.parquet(f"{out}/nodes")
+    edges = spark.read.parquet(f"{out}/edges")
+    dangling = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select("dst"))
+        .distinct()
+        .join(nodes.select("id"), "id", "left_anti")
+        .count()
+    )
+    assert dangling == 0
+
+
+def test_pipeline_resume_noop_and_partial(spark, tmp_path):
+    corpus, expected = _corpus_and_golden()
+    pages, aliases, canonicals = datagen.corpus_to_spark(spark, corpus)
+    out = str(tmp_path / "kg")
+    run_pipeline(spark, pages, aliases, out, snapshot="snap-1", canonicals=canonicals, n_buckets=4)
+    first = triple_set(spark.read.parquet(f"{out}/triples"))
+
+    # full re-run: every stage must short-circuit via its manifest
+    metrics = run_pipeline(spark, pages, aliases, out, snapshot="snap-1", canonicals=canonicals, n_buckets=4)
+    assert metrics["extract"]["processed_buckets"] == 0
+    assert metrics["link"].get("resumed") and metrics["triples"].get("resumed")
+    assert triple_set(spark.read.parquet(f"{out}/triples")) == first
+
+    # partial resume: pretend buckets 2,3 never completed — drop their
+    # parquet partitions and rewrite the manifest; downstream manifests
+    # are invalidated by using a fresh snapshot id
+    for b in (2, 3):
+        shutil.rmtree(f"{out}/facts/bucket={b}")
+    with open(f"{out}/_manifests/extract.json", encoding="utf-8") as f:
+        m = json.load(f)
+    m["snapshot"] = "snap-2"
+    m["buckets_done"] = [0, 1]
+    manifests.write_manifest(out, "extract", m)
+    for stage in ("link", "triples", "graph"):
+        (tmp_path / "kg" / "_manifests" / f"{stage}.json").unlink()
+
+    metrics = run_pipeline(spark, pages, aliases, out, snapshot="snap-2", canonicals=canonicals, n_buckets=4)
+    assert metrics["extract"]["processed_buckets"] == 2
+    assert metrics["extract"]["skipped_buckets"] == 2
+    assert triple_set(spark.read.parquet(f"{out}/triples")) == first == expected
