@@ -1,0 +1,171 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` plus the KG
+pipeline (datagen corpus sized by sf) and prints ONE JSON line:
+
+    {"metric": "e2e_sec", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "pipeline": {...docs/sec, triples/sec...}}
+
+Every query is forced end-to-end by hashing all of its columns (a bare
+count() would let Catalyst prune the computed columns away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+BENCH_QUERIES = [
+    "kg_triples_geo",
+    "slugify_uri",
+    "split_explode",
+    "int_cast_fallback",
+    "fulltext_top1",
+    "first_wins",
+    "last_wins",
+    "dedup_exact",
+    "edge_dedup",
+    "traverse_1hop",
+    "multihop_topk",
+    "star_join",
+    "attr_pivot",
+    "agg_count_avg",
+    "degree_stats",
+    "topk_orders",
+    "window_latest_event",
+    "connected_components",
+    "bfs_khop",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ann_cosine_topk",
+    "quality_features",
+    "lang_id",
+    "token_count",
+    "gazetteer_mentions",
+]
+
+
+def force(df: DataFrame) -> int:
+    """Fully evaluate every column of df; returns row count."""
+    row = df.select(
+        F.xxhash64(*[F.col(c) for c in df.columns]).alias("h")
+    ).agg(F.count("*").alias("n"), F.bit_xor("h")).first()
+    return row["n"]
+
+
+def bench_pipeline(spark, n_pages: int, out_dir: str, replicate: int = 1) -> dict:
+    """Generate a corpus, run the full pipeline, report throughputs.
+
+    ``replicate`` multiplies the page set Spark-side (distinct urls) to
+    scale extraction work without driver-side generation cost.
+    """
+    from kgspark import datagen
+    from kgspark.plans.pipeline import run_pipeline
+
+    corpus = datagen.generate_corpus(n_pages=n_pages, seed=13)
+    pages, aliases, canonicals = datagen.corpus_to_spark(spark, corpus)
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        pages = pages.crossJoin(reps).withColumn(
+            "url", F.concat(F.col("url"), F.lit("?rep="), F.col("rep"))
+        ).drop("rep")
+    src_path = f"{out_dir}/webpages"
+    pages.repartition(64).write.mode("overwrite").parquet(src_path)
+    pages = spark.read.parquet(src_path)
+    n_docs = n_pages * replicate
+
+    t0 = time.time()
+    metrics = run_pipeline(
+        spark,
+        pages,
+        aliases,
+        f"{out_dir}/kg",
+        snapshot=f"bench-{n_pages}-{replicate}",
+        canonicals=canonicals,
+        n_buckets=64,
+    )
+    wall = time.time() - t0
+    n_triples = metrics["triples"]["rows"]
+    return {
+        "docs": n_docs,
+        "triples": n_triples,
+        "pipeline_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "triples_per_sec": round(n_triples / wall, 1),
+        "extract_sec": metrics["extract"]["sec"],
+        "stage_sec": {
+            k: v.get("sec") for k, v in metrics.items() if isinstance(v, dict)
+        },
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    from kgspark.entrypoints import QUERIES
+    from kgspark.session import get_spark
+
+    spark = get_spark("kgspark-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM codegen, Python worker pool, AQE paths — not timed
+    from kgspark.functions.textfns import slugify_udf
+
+    warm = spark.range(10000).select(F.col("id").cast("string").alias("s"))
+    force(warm.select(slugify_udf(F.col("s")).alias("x")).groupBy("x").count())
+
+    # untimed warm pass: parquet footer/page cache, per-shape codegen
+    for name in BENCH_QUERIES:
+        force(QUERIES[name](spark, sf_dir))
+
+    queries: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        total += dt
+
+    out_dir = tempfile.mkdtemp(prefix="kgspark-bench-")
+    try:
+        pipeline = bench_pipeline(
+            spark, n_pages=max(int(20000 * sf), 200), out_dir=out_dir, replicate=4
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    total += pipeline["pipeline_sec"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": cpus,
+                "pipeline": pipeline,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

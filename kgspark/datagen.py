@@ -112,6 +112,8 @@ def generate_corpus(
     alias_fraction: float = 0.15,
     non_en_fraction: float = 0.1,
     pre_extracted_fraction: float = 0.5,
+    facts_range: tuple[int, int] = (1, 3),
+    filler_paras: int = 0,
 ) -> Corpus:
     rng = random.Random(seed)
 
@@ -165,7 +167,7 @@ def generate_corpus(
         if lang != "en":
             sentences.append(NON_EN_FILLER[lang])
         else:
-            for _ in range(rng.randint(1, 3)):
+            for _ in range(rng.randint(*facts_range)):
                 # head providers dominate (hub-entity skew)
                 if rng.random() < 0.5:
                     prov = providers[rng.randrange(n_head)]
@@ -210,6 +212,10 @@ def generate_corpus(
                         "Patient_Condition": "|".join(conds),
                     }
                 )
+
+        for _ in range(filler_paras):  # non-fact prose (extractor noise)
+            words = [rng.choice(BIO_TOPICS).split()[0] for _ in range(20)]
+            sentences.append("Background reading on " + " ".join(words) + ".")
 
         html = _mk_html(f"Provider directory {i}", sentences, rng)
         # golden text is defined by the shared extractor; filled in lazily to

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kgspark.constants import BASE, RDF_TYPE
-from kgspark.functions.hashing import hseed_sql, tokens_sql
+from kgspark.functions.hashing import hword_sql, tokens_sql
 from kgspark.functions.textfns import mint_uri_col, multi_or_raw_col, slugify_udf
 from kgspark.operators import dedup, relational_kg, similarity, textops
 from kgspark.operators.bfs import k_hop_nodes
@@ -688,6 +688,14 @@ def shingles_sql(text_expr: str, n: int) -> str:
     )
 
 
+
+def _minhash_word_sql(j: int) -> str:
+    block, word = divmod(j, 4)
+    return (
+        f"('0x' || min(substr(md5('{block}|' || shingle), {1 + 8 * word}, 8)))::BIGINT"
+        f" AS mh_{j}"
+    )
+
 _MINHASH_K = 16
 _LSH_BANDS = 4
 _SHINGLE_N = 3
@@ -702,7 +710,7 @@ sh AS (
 ),
 sigs AS (
   SELECT doc_id,
-         {', '.join(f"min({hseed_sql(j, 'shingle')}) AS mh_{j}" for j in range(_MINHASH_K))}
+         {', '.join(_minhash_word_sql(j) for j in range(_MINHASH_K))}
   FROM sh GROUP BY doc_id
 )
 """

@@ -70,31 +70,44 @@ EXTRACT_SCHEMA = (
 )
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
+def _extract_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+    import pyarrow as pa
+
+    for rb in batches:
+        cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
         out: dict[str, list] = {k: [] for k in ["url", "warc_ts", "sent_idx", *FACT_COLUMNS]}
-        for url, warc_ts, html, text, lang in zip(
-            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"], pdf["lang"]
-        ):
-            if lang != "en":
+        langs = cols["lang"].to_pylist()
+        texts = cols["text"].to_pylist()
+        urls = cols["url"].to_pylist()
+        tss = cols["warc_ts"].to_pylist()
+        html_col = cols["html"]  # stays in the Arrow buffer; decoded per row
+        for i in range(rb.num_rows):
+            if langs[i] != "en":
                 continue
-            page_text = text if isinstance(text, str) and text else extract_text(html)
+            page_text = texts[i] if texts[i] else extract_text(html_col[i].as_py())
             for row in extract_fact_rows(page_text):
-                out["url"].append(url)
-                out["warc_ts"].append(warc_ts)
+                out["url"].append(urls[i])
+                out["warc_ts"].append(tss[i])
                 out["sent_idx"].append(row["sent_idx"])
                 for c in FACT_COLUMNS:
                     out[c].append(row[c])
-        yield pd.DataFrame(out)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "url": pa.array(out["url"], pa.string()),
+                "warc_ts": pa.array(out["warc_ts"], pa.timestamp("us", tz="UTC")),
+                "sent_idx": pa.array(out["sent_idx"], pa.int32()),
+                **{c: pa.array(out[c], pa.string()) for c in FACT_COLUMNS},
+            }
+        )
 
 
 def extract_facts(webpages):
     """webpages(url, warc_ts, html, text, lang) → fact rows DataFrame.
 
-    Arrow-batched ``mapInPandas``; the html column is pruned from the
-    scan for rows that carry pre-extracted text only at the batch level
-    (Spark must ship both columns), so at 100 TB prefer storing text
-    separately once extracted — that is what the pipeline's stage-1
-    checkpoint does.
+    ``mapInArrow`` rather than ``mapInPandas``: pandas conversion would
+    materialize every html payload as a Python bytes object up front
+    (GB-scale allocator churn per worker); with Arrow batches the
+    binary column stays in Arrow buffers and is decoded row-by-row
+    only when the text fallback actually needs it.
     """
-    return webpages.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
+    return webpages.mapInArrow(_extract_batches, schema=EXTRACT_SCHEMA)

@@ -30,6 +30,16 @@ def hseed_col(seed: int, col: Column) -> Column:
     return h32_col(F.concat(F.lit(f"{seed}|"), col))
 
 
+def hword_col(j: int, col: Column) -> Column:
+    """j-th member of the hash family, 4 members per md5 digest:
+    member j uses word (j%4) of md5(f"{j//4}|" + s). One digest serves
+    four hashes — 4x fewer md5 evaluations in k-minhash aggregations."""
+    block, word = divmod(j, 4)
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{block}|"), col)), 1 + 8 * word, 8), 16, 10
+    ).cast("long")
+
+
 def h32_py(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
 
@@ -46,6 +56,11 @@ def h32_sql(expr: str) -> str:
 
 def hseed_sql(seed: int, expr: str) -> str:
     return h32_sql(f"'{seed}|' || {expr}")
+
+
+def hword_sql(j: int, expr: str) -> str:
+    block, word = divmod(j, 4)
+    return f"('0x' || substr(md5('{block}|' || {expr}), {1 + 8 * word}, 8))::BIGINT"
 
 
 def tokens_sql(expr: str) -> str:

@@ -86,6 +86,60 @@ def connected_components(
     return assign
 
 
+def connected_components_auto(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    driver_max_edges: int = 500_000,
+) -> DataFrame:
+    """Size-adaptive CC: tiny graphs are solved driver-side.
+
+    The distributed hash-min loop costs ~4-8 Spark jobs of pure latency
+    per iteration — absurd for a same-as graph of a few thousand
+    distinct surface forms. If the (deduplicated) edge list fits the
+    driver comfortably, collect it, run union-find, and parallelize the
+    assignment back; identical output (component = min member id) by
+    construction. Beyond the threshold, fall back to the iterative
+    DataFrame algorithm.
+    """
+    spark = nodes.sparkSession
+    sym = undirected_closure(edges, src, dst).persist()
+    try:
+        n_edges = sym.count()
+        if n_edges > driver_max_edges:
+            return connected_components(nodes, edges, node_col, src, dst)
+
+        pairs = [(r.a, r.b) for r in sym.collect()]
+        ids = {r[0] for r in nodes.select(F.col(node_col)).collect()}
+        for a, b in pairs:
+            ids.add(a)
+            ids.add(b)
+
+        parent: dict = {n: n for n in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        groups: dict = {}
+        for n in ids:
+            groups.setdefault(find(n), []).append(n)
+        rows = [
+            (n, min(members)) for members in groups.values() for n in members
+        ]
+        return spark.createDataFrame(rows, schema="id string, component string")
+    finally:
+        sym.unpersist()
+
+
 def component_stats(assign: DataFrame) -> DataFrame:
     """(component_count, largest_component_size) — SURVEY.md E6/G4."""
     sizes = assign.groupBy("component").agg(F.count("*").alias("size"))

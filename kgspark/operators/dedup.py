@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kgspark.functions.hashing import h32_col, hseed_col
+from kgspark.functions.hashing import h32_col, hword_col
 from kgspark.operators.fulltext import tokenize_col
 
 
@@ -52,9 +52,14 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def word_shingles_col(text: Column, n: int = 3) -> Column:
-    """Space-joined word n-gram shingles (distinct), [] if < n tokens."""
-    toks = tokenize_col(text)
+def word_shingles_col(toks: Column, n: int = 3) -> Column:
+    """Space-joined word n-gram shingles (distinct), [] if < n tokens.
+
+    ``toks`` MUST be a materialized token-array *column reference* (not
+    an inline tokenize expression): Catalyst does not CSE expressions
+    referenced inside higher-order-function lambdas, so an inline
+    tokenizer would be re-evaluated per element — O(len²) regex work.
+    """
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx,
@@ -64,6 +69,15 @@ def word_shingles_col(text: Column, n: int = 3) -> Column:
     )
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, shingle) exploded stream with tokens materialized once."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .withColumn("toks", tokenize_col(F.col("text")))
+        .select("doc_id", F.explode(word_shingles_col(F.col("toks"), n)).alias("shingle"))
     )
 
 
@@ -79,14 +93,24 @@ def minhash_signatures(
     One explode + one groupBy with k algebraic mins: partial aggregation
     keeps the shuffle at k longs per doc regardless of doc length.
     """
-    shingled = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles_col(F.col(text_col), shingle_n)).alias("shingle"),
+    shingled = _shingled(docs, id_col, text_col, shingle_n)
+    # one md5 digest yields four 32-bit hash-family members; min is taken
+    # over the fixed-width hex substring (lexicographic == numeric order),
+    # so the hex→long conversion runs once per group, not per shingle
+    n_digests = (num_hashes + 3) // 4
+    for b in range(n_digests):
+        shingled = shingled.withColumn(
+            f"d{b}", F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))
+        )
+    aggs = []
+    for j in range(num_hashes):
+        block, word = divmod(j, 4)
+        aggs.append(F.min(F.substring(F.col(f"d{block}"), 1 + 8 * word, 8)).alias(f"x_{j}"))
+    grouped = shingled.groupBy("doc_id").agg(*aggs)
+    return grouped.select(
+        "doc_id",
+        *[F.conv(F.col(f"x_{j}"), 16, 10).cast("long").alias(f"mh_{j}") for j in range(num_hashes)],
     )
-    aggs = [
-        F.min(hseed_col(j, F.col("shingle"))).alias(f"mh_{j}") for j in range(num_hashes)
-    ]
-    return shingled.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -139,10 +163,7 @@ def ngram_jaccard_pairs(
     pairs; |A∪B| = |A|+|B|-|A∩B|. The exact (quadratic-in-collisions)
     baseline that MinHash/LSH approximates.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles_col(F.col(text_col), shingle_n)).alias("shingle"),
-    )
+    sh = _shingled(docs, id_col, text_col, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     a = sh.alias("a")

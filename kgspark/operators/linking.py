@@ -133,11 +133,11 @@ def canonicalize_by_components(
     is a known canonical name, else the min member. Returns
     (name, canonical_id).
     """
-    from kgspark.operators.cc import connected_components
+    from kgspark.operators.cc import connected_components_auto
 
     edges = sameas_edges(resolution)
     nodes = resolution.select(F.col("name").alias("id"))
-    assign = connected_components(nodes, edges, "id")
+    assign = connected_components_auto(nodes, edges, "id")
 
     canon = canonicals.select(F.col("canonical")).distinct()
     rep = (
@@ -156,11 +156,91 @@ def canonicalize_by_components(
     )
 
 
+def resolve_mentions_local(
+    mentions: list[str],
+    alias_map: dict[str, str],
+    canonical_set: set[str],
+    threshold: float = 0.75,
+) -> dict[str, str]:
+    """Driver-side twin of resolve_mentions + canonicalize_by_components.
+
+    Same three tiers and tie-breaks ((cos desc, canonical asc)); same
+    union-find canonicalization. Used by the adaptive path when the
+    distinct-mention set is small enough to collect — the common case
+    even at web scale after the distinct (surface forms are bounded by
+    the entity inventory, not the corpus size).
+    """
+    import numpy as np
+
+    resolved: dict[str, str] = {}
+    todo: list[str] = []
+    for m in mentions:
+        if m in canonical_set:
+            resolved[m] = m
+        elif m in alias_map:
+            resolved[m] = alias_map[m]
+        else:
+            todo.append(m)
+
+    if todo:
+        cands = sorted(canonical_set)
+        cand_vecs = np.stack([_char_ngram_vector(c) for c in cands]) if cands else None
+        cand_tokens = [
+            {t for t in _tokenize_py(c) if t != "dr"} for c in cands
+        ]
+        for m in todo:
+            blocks = {t for t in _tokenize_py(m) if t != "dr"}
+            best = None
+            if cand_vecs is not None and blocks:
+                mv = _char_ngram_vector(m)
+                for i, c in enumerate(cands):
+                    if not (blocks & cand_tokens[i]):
+                        continue
+                    cos = float(mv @ cand_vecs[i])
+                    if cos >= threshold and (best is None or cos > best[0] or (cos == best[0] and c < best[1])):
+                        best = (cos, c)
+            resolved[m] = best[1] if best else m
+
+    # union-find canonicalization over same-as pairs
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for m, r in resolved.items():
+        ra, rb = find(m), find(r)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[str, list[str]] = {}
+    for m in resolved:
+        groups.setdefault(find(m), []).append(m)
+    out: dict[str, str] = {}
+    for members in groups.values():
+        canon_members = sorted(x for x in members if x in canonical_set)
+        rep = canon_members[0] if canon_members else min(members)
+        for m in members:
+            out[m] = rep
+    return out
+
+
+def _tokenize_py(s: str) -> list[str]:
+    import re
+
+    from kgspark.operators.fulltext import TOKEN_SPLIT
+
+    return [t for t in re.split(TOKEN_SPLIT, s.lower()) if t]
+
+
 def link_facts(
     facts: DataFrame,
     aliases: DataFrame,
     canonicals: DataFrame | None = None,
     name_col: str = "Provider",
+    driver_max_mentions: int = 200_000,
 ) -> DataFrame:
     """Replace ``facts[name_col]`` with its canonical form (CC-based).
 
@@ -169,11 +249,29 @@ def link_facts(
     forms (they would then be embedding-matched against *other*
     entities — a precision bug), so pass the full inventory.
     """
-    mentions = facts.select(F.col(name_col).alias("name"))
+    spark = facts.sparkSession
     if canonicals is None:
         canonicals = aliases.select("canonical")
-    resolution = resolve_mentions(mentions, aliases, canonicals)
-    mapping = canonicalize_by_components(resolution, canonicals)
+
+    distinct_mentions = facts.select(F.col(name_col).alias("name")).distinct()
+    sample = distinct_mentions.limit(driver_max_mentions + 1).collect()
+
+    if len(sample) <= driver_max_mentions:
+        # adaptive driver path: the distinct surface-form set is bounded
+        # by the entity inventory, so even a 10^12-doc corpus usually
+        # lands here; saves ~15 Spark jobs of fixed latency
+        alias_map = {r.alias: r.canonical for r in aliases.collect()}
+        canon_set = {r.canonical for r in canonicals.collect()}
+        mapping_dict = resolve_mentions_local(
+            [r.name for r in sample], alias_map, canon_set
+        )
+        mapping = spark.createDataFrame(
+            sorted(mapping_dict.items()), schema="name string, canonical_id string"
+        )
+    else:
+        resolution = resolve_mentions(distinct_mentions, aliases, canonicals)
+        mapping = canonicalize_by_components(resolution, canonicals)
+
     out = (
         facts.join(
             F.broadcast(mapping), facts[name_col] == mapping.name, "left"

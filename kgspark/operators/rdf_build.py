@@ -153,22 +153,16 @@ def build_triples(
     if persist_base:
         base = base.persist()
     mentions = mention_stream(base, order_col)
+    ridx = F.col(order_col)
 
-    # kind → class URI (literal CASE expression; whole-stage codegen)
+    # --- narrow branches (no shuffle of their own; final dedup collapses
+    # repeats, so e.g. type triples need no per-branch distinct) ----------
     cls = F.element_at(
         F.create_map(*[F.lit(x) for kv in KIND_TO_CLASS.items() for x in kv]),
         F.col("kind"),
     )
-    type_triples = mentions.select(*_uri_triple(F.col("uri"), RDF_TYPE, cls)).distinct()
+    type_triples = mentions.select(*_uri_triple(F.col("uri"), RDF_TYPE, cls))
 
-    # first mention (by row, then within-row seq) names the URI
-    name_triples = (
-        mentions.groupBy("uri")
-        .agg(F.min(F.struct("row_idx", "seq", "label")).alias("w"))
-        .select(*_lit_triple(F.col("uri"), P_NAME, F.col("w.label")))
-    )
-
-    ridx = F.col(order_col)
     spec_edges = base.select(
         "prov_uri", F.explode("specs_arr").alias("part")
     ).select(*_uri_triple(F.col("prov_uri"), P_SPECIALIZES_IN, mint_uri_col(F.col("part"))))
@@ -176,41 +170,62 @@ def build_triples(
         "prov_uri", F.explode("locs_arr").alias("part")
     ).select(*_uri_triple(F.col("prov_uri"), P_LOCATED_AT, mint_uri_col(F.col("part"))))
     treats_edges = base.select(*_uri_triple(F.col("prov_uri"), P_TREATS, F.col("pat_uri")))
-
-    def first_nonempty(df: DataFrame, key: str, value: str, pred: str) -> DataFrame:
-        return (
-            df.filter(F.col(value) != "")
-            .groupBy(key)
-            .agg(F.min(F.struct(ridx.alias("o"), F.col(value).alias("v"))).alias("w"))
-            .select(*_lit_triple(F.col(key), pred, F.col("w.v")))
-        )
-
-    bio_triples = first_nonempty(base, "prov_uri", "Bio", P_BIO)
-    gender_triples = first_nonempty(base, "pat_uri", "Patient_Gender", P_GENDER)
-
-    age_first = (
-        base.filter(F.col("Patient_Age") != "")
-        .groupBy("pat_uri")
-        .agg(F.min(F.struct(ridx.alias("o"), F.col("Patient_Age").alias("v"))).alias("w"))
-        .withColumn("parsed", age_literal_udf(F.col("w.v")))
-    )
-    age_triples = age_first.select(
-        *_lit_triple(F.col("pat_uri"), P_AGE, F.col("parsed.lex"), F.col("parsed.dtype"))
-    )
-
     cond_triples = base.select("pat_uri", F.explode("conds_arr").alias("part")).select(
         *_lit_triple(F.col("pat_uri"), P_CONDITION, F.col("part"))
     )
 
+    # --- ONE fused ordered-first aggregation for every first-wins
+    # attribute (name/bio/gender/age), keyed (uri, attr) — a single
+    # shuffle instead of four (stage latency dominates at the low end;
+    # at the high end one wide partial-agg beats four narrow ones) -------
+    def attr_rows(df, key: str, attr: str, value, seq):
+        return df.select(
+            F.col(key).alias("uri"),
+            F.lit(attr).alias("attr"),
+            ridx.alias("o1"),
+            seq.alias("o2"),
+            value.alias("v"),
+        )
+
+    zero = F.lit(0)
+    firsts_in = (
+        attr_rows(mentions, "uri", "name", F.col("label"), F.col("seq"))
+        .unionByName(attr_rows(base.filter(F.col("Bio") != ""), "prov_uri", "bio", F.col("Bio"), zero))
+        .unionByName(attr_rows(base.filter(F.col("Patient_Gender") != ""), "pat_uri", "gender", F.col("Patient_Gender"), zero))
+        .unionByName(attr_rows(base.filter(F.col("Patient_Age") != ""), "pat_uri", "age", F.col("Patient_Age"), zero))
+    )
+    firsts = (
+        firsts_in.groupBy("uri", "attr")
+        .agg(F.min(F.struct("o1", "o2", "v")).alias("w"))
+        .withColumn(
+            "parsed",
+            F.when(F.col("attr") == "age", age_literal_udf(F.col("w.v"))).otherwise(
+                F.struct(
+                    F.col("w.v").alias("lex"), F.lit(None).cast("string").alias("dtype")
+                )
+            ),
+        )
+    )
+    attr_pred = F.create_map(
+        *[F.lit(x) for kv in
+          {"name": P_NAME, "bio": P_BIO, "gender": P_GENDER, "age": P_AGE}.items()
+          for x in kv]
+    )
+    attr_triples = firsts.select(
+        F.col("uri").alias("subj"),
+        F.element_at(attr_pred, F.col("attr")).alias("pred"),
+        F.col("parsed.lex").alias("obj"),
+        F.lit(KIND_LITERAL).alias("obj_kind"),
+        F.col("parsed.dtype").alias("obj_dtype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+
     out = (
-        type_triples.unionByName(name_triples)
-        .unionByName(spec_edges)
+        type_triples.unionByName(spec_edges)
         .unionByName(loc_edges)
         .unionByName(treats_edges)
-        .unionByName(bio_triples)
-        .unionByName(gender_triples)
-        .unionByName(age_triples)
         .unionByName(cond_triples)
+        .unionByName(attr_triples.select(*TRIPLE_COLUMNS))
     )
     return out.dropDuplicates(TRIPLE_COLUMNS)
 

@@ -41,3 +41,21 @@ def test_component_canonicalization(spark):
     assert mapping["Dr. Jon Smith"] == "Dr. John Smith"
     assert mapping["Dr. John Smith"] == "Dr. John Smith"
     assert mapping["Someone Else"] == "Someone Else"
+
+
+def test_local_resolver_matches_distributed(spark):
+    """The adaptive driver path must produce the distributed mapping."""
+    from kgspark.operators.linking import resolve_mentions_local
+
+    canonicals = ["Dr. John Smith", "Dr. Jane Poe", "Dr. Ann Lee"]
+    aliases = [("Dr. Smith", "Dr. John Smith"), ("Dr. J. Poe", "Dr. Jane Poe")]
+    mentions = [
+        "Dr. John Smith", "Dr. Smith", "Dr. Jon Smith", "Dr. J. Poe",
+        "Dr. Jane Poe", "Dr. An Lee", "Prof. Zig Zag", "Dr. Ann Lee",
+    ]
+    _, (m, a, c, res) = _run(spark, mentions, aliases, canonicals)
+    distributed = {
+        r.name: r.canonical_id for r in canonicalize_by_components(res, c).collect()
+    }
+    local = resolve_mentions_local(mentions, dict(aliases), set(canonicals))
+    assert local == distributed
