@@ -50,10 +50,14 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ngram_jaccard_pairs",
     "quality_features",
     "lang_id",
     "token_count",
     "gazetteer_mentions",
+    "doc_summary",
+    "answer_extract",
 ]
 
 

@@ -1001,3 +1001,65 @@ def gazetteer_mentions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("n_mentions"))
     )
+
+
+# --------------------------------------------------------------------------
+# Enrichment ops (B9/B10/B11/H2/H3)
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_summary",
+    """
+SELECT doc_id,
+       coalesce(nullif(trim(regexp_extract(trunc, '^((?:[^.!?]*[.!?]+\\s*){1,2})', 1)), ''), trunc) AS summary
+FROM (
+  SELECT doc_id,
+         CASE WHEN length(text) > 1500 THEN substr(text, 1, 1500) || '...' ELSE text END AS trunc
+  FROM documents
+)
+""",
+)
+def doc_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3/B10: truncation + extractive two-sentence summary per doc."""
+    from kgspark.extract.enrich import extractive_summary_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", extractive_summary_col(F.col("text")).alias("summary"))
+
+
+@register(
+    "id_suffixing",
+    """
+SELECT doc_id AS original_id,
+       doc_id::VARCHAR || '_' || source AS id,
+       source AS source_document
+FROM documents
+""",
+)
+def id_suffixing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9/H2: provenance id suffixing (pure expression, no join)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("original_id"),
+        F.concat_ws("_", F.col("doc_id"), F.col("source")).alias("id"),
+        F.col("source").alias("source_document"),
+    )
+
+
+@register(
+    "answer_extract",
+    r"""
+SELECT event_id,
+       nullif(regexp_extract(props, '(-?\d+(?:\.\d+)?)', 1), '') AS answer
+FROM events
+""",
+)
+def answer_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: answer-extraction regex cascade (numeric fallback tier)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.nullif(
+            F.regexp_extract(F.col("props"), r"(-?\d+(?:\.\d+)?)", 1), F.lit("")
+        ).alias("answer"),
+    )

@@ -33,12 +33,17 @@ _AGE_STRUCT = StructType(
 @pandas_udf(StringType())
 def slugify_udf(names: pd.Series) -> pd.Series:
     # Vectorized pandas str ops use Python's `re`, so \w/\s semantics are
-    # identical to the golden oracle.
-    s = names.fillna("").str.strip()
+    # identical to the golden oracle. Entity names are Zipf-repetitive,
+    # so regex work runs once per DISTINCT value per batch and fans back
+    # out with a hash-map lookup.
+    uniq = pd.Series(names.dropna().unique())
+    s = uniq.str.strip()
     s = s.str.replace(r"\s+", "_", regex=True)
     s = s.str.replace(r"[^\w]", "_", regex=True)
     s = s.str.replace(r"_+", "_", regex=True).str.strip("_")
-    return s.where(s != "", "unnamed")
+    s = s.where(s != "", "unnamed")
+    mapping = dict(zip(uniq, s))
+    return names.map(mapping).fillna("unnamed")
 
 
 @pandas_udf(_AGE_STRUCT)

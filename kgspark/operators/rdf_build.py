@@ -76,24 +76,48 @@ def _lit_triple(subj, pred: str, obj, dtype=None):
     ]
 
 
-def prepare_facts(facts: DataFrame, order_col: str = "row_idx") -> DataFrame:
+def prepare_facts(
+    facts: DataFrame, order_col: str = "row_idx", extra_cols: list[str] | None = None
+) -> DataFrame:
     """Trim all fact columns, apply the Provider∧Patient row gate, and
-    precompute URIs + multi-value arrays. One narrow pass, one UDF site
-    per name column (Arrow-batched)."""
+    precompute URIs. One narrow pass, one UDF site per name column
+    (Arrow-batched).
+
+    Deliberately does NOT materialize the multi-value split arrays:
+    this DataFrame gets persisted and Spark's in-memory columnar cache
+    is several-fold slower building array<string> columns than plain
+    strings; branches recompute the (cheap, codegen'd) split instead.
+    """
     if order_col not in facts.columns:
         raise ValueError(f"facts must carry a stable source-order column {order_col!r}")
     df = trim_all(facts, FACT_COLUMNS)
     df = df.filter((F.col("Provider") != "") & (F.col("Patient") != ""))
-    return (
-        df.withColumn("specs_arr", multi_or_raw_col(F.col("Specialization")))
-        .withColumn("locs_arr", multi_or_raw_col(F.col("Location")))
-        .withColumn("conds_arr", multi_or_raw_col(F.col("Patient_Condition")))
-        .withColumn("prov_uri", mint_uri_col(F.col("Provider")))
-        .withColumn("pat_uri", mint_uri_col(F.col("Patient")))
+    keep = [F.col(order_col)]
+    if extra_cols:
+        keep += [F.col(c) for c in extra_cols]
+    return df.select(
+        *keep,
+        *FACT_COLUMNS,
+        mint_uri_col(F.col("Provider")).alias("prov_uri"),
+        mint_uri_col(F.col("Patient")).alias("pat_uri"),
     )
 
 
-def mention_stream(base: DataFrame, order_col: str = "row_idx") -> DataFrame:
+def _specs_arr():
+    return multi_or_raw_col(F.col("Specialization"))
+
+
+def _locs_arr():
+    return multi_or_raw_col(F.col("Location"))
+
+
+def _conds_arr():
+    return multi_or_raw_col(F.col("Patient_Condition"))
+
+
+def mention_stream(
+    base: DataFrame, order_col: str = "row_idx", extra_cols: list[str] | None = None
+) -> DataFrame:
     """Exploded entity-mention stream ``(row_idx, seq, kind, label, uri)``.
 
     ``(row_idx, seq)`` totally orders mentions exactly as the reference's
@@ -101,12 +125,15 @@ def mention_stream(base: DataFrame, order_col: str = "row_idx") -> DataFrame:
     split order, then locations (build_rdf.py:169-179).
     """
     ridx = F.col(order_col)
+    extras = [F.col(c) for c in (extra_cols or [])]
+    extra_names = list(extra_cols or [])
     prov = base.select(
         ridx.alias("row_idx"),
         F.lit(0).alias("seq"),
         F.lit("Provider").alias("kind"),
         F.col("Provider").alias("label"),
         F.col("prov_uri").alias("uri"),
+        *extras,
     )
     pat = base.select(
         ridx.alias("row_idx"),
@@ -114,27 +141,32 @@ def mention_stream(base: DataFrame, order_col: str = "row_idx") -> DataFrame:
         F.lit("Patient").alias("kind"),
         F.col("Patient").alias("label"),
         F.col("pat_uri").alias("uri"),
+        *extras,
     )
     spec = base.select(
         ridx.alias("row_idx"),
-        F.posexplode("specs_arr").alias("pos", "label"),
+        F.posexplode(_specs_arr()).alias("pos", "label"),
+        *extras,
     ).select(
         "row_idx",
         (F.lit(2) + F.col("pos")).alias("seq"),
         F.lit("Specialization").alias("kind"),
         "label",
         mint_uri_col(F.col("label")).alias("uri"),
+        *extra_names,
     )
     loc = base.select(
         ridx.alias("row_idx"),
-        F.size("specs_arr").alias("nspec"),
-        F.posexplode("locs_arr").alias("pos", "label"),
+        F.size(_specs_arr()).alias("nspec"),
+        F.posexplode(_locs_arr()).alias("pos", "label"),
+        *extras,
     ).select(
         "row_idx",
         (F.lit(2) + F.col("nspec") + F.col("pos")).alias("seq"),
         F.lit("Location").alias("kind"),
         "label",
         mint_uri_col(F.col("label")).alias("uri"),
+        *extra_names,
     )
     return prov.unionByName(pat).unionByName(spec).unionByName(loc)
 
@@ -143,17 +175,25 @@ def build_triples(
     facts: DataFrame,
     order_col: str = "row_idx",
     persist_base: bool = True,
+    provenance_col: str | None = None,
 ) -> DataFrame:
     """Fact rows → deduplicated triples DataFrame (schema: TRIPLE_COLUMNS).
 
     Set-equal to ``kgspark.golden.fact_rows_to_triples`` on any input
     (asserted by tests/test_golden_rdf.py at P/R = 1.0).
+
+    With ``provenance_col`` (e.g. ``"url"``), the set-dedup becomes a
+    group-by that keeps the min source value per distinct triple in a
+    trailing ``source_document`` column — same triple set, plus lineage
+    (the reference's ``source_document`` stamping, B9/H2).
     """
-    base = prepare_facts(facts, order_col)
+    extra = [provenance_col] if provenance_col else []
+    base = prepare_facts(facts, order_col, extra)
     if persist_base:
         base = base.persist()
-    mentions = mention_stream(base, order_col)
+    mentions = mention_stream(base, order_col, extra_cols=extra)
     ridx = F.col(order_col)
+    prov = F.col(provenance_col) if provenance_col else F.lit(None).cast("string")
 
     # --- narrow branches (no shuffle of their own; final dedup collapses
     # repeats, so e.g. type triples need no per-branch distinct) ----------
@@ -161,18 +201,18 @@ def build_triples(
         F.create_map(*[F.lit(x) for kv in KIND_TO_CLASS.items() for x in kv]),
         F.col("kind"),
     )
-    type_triples = mentions.select(*_uri_triple(F.col("uri"), RDF_TYPE, cls))
+    type_triples = mentions.select(*_uri_triple(F.col("uri"), RDF_TYPE, cls), prov.alias("src_doc"))
 
     spec_edges = base.select(
-        "prov_uri", F.explode("specs_arr").alias("part")
-    ).select(*_uri_triple(F.col("prov_uri"), P_SPECIALIZES_IN, mint_uri_col(F.col("part"))))
+        prov.alias("src_doc"), F.col("prov_uri"), F.explode(_specs_arr()).alias("part")
+    ).select(*_uri_triple(F.col("prov_uri"), P_SPECIALIZES_IN, mint_uri_col(F.col("part"))), "src_doc")
     loc_edges = base.select(
-        "prov_uri", F.explode("locs_arr").alias("part")
-    ).select(*_uri_triple(F.col("prov_uri"), P_LOCATED_AT, mint_uri_col(F.col("part"))))
-    treats_edges = base.select(*_uri_triple(F.col("prov_uri"), P_TREATS, F.col("pat_uri")))
-    cond_triples = base.select("pat_uri", F.explode("conds_arr").alias("part")).select(
-        *_lit_triple(F.col("pat_uri"), P_CONDITION, F.col("part"))
-    )
+        prov.alias("src_doc"), F.col("prov_uri"), F.explode(_locs_arr()).alias("part")
+    ).select(*_uri_triple(F.col("prov_uri"), P_LOCATED_AT, mint_uri_col(F.col("part"))), "src_doc")
+    treats_edges = base.select(*_uri_triple(F.col("prov_uri"), P_TREATS, F.col("pat_uri")), prov.alias("src_doc"))
+    cond_triples = base.select(
+        prov.alias("src_doc"), F.col("pat_uri"), F.explode(_conds_arr()).alias("part")
+    ).select(*_lit_triple(F.col("pat_uri"), P_CONDITION, F.col("part")), "src_doc")
 
     # --- ONE fused ordered-first aggregation for every first-wins
     # attribute (name/bio/gender/age), keyed (uri, attr) — a single
@@ -185,6 +225,7 @@ def build_triples(
             ridx.alias("o1"),
             seq.alias("o2"),
             value.alias("v"),
+            prov.alias("p"),
         )
 
     zero = F.lit(0)
@@ -196,7 +237,7 @@ def build_triples(
     )
     firsts = (
         firsts_in.groupBy("uri", "attr")
-        .agg(F.min(F.struct("o1", "o2", "v")).alias("w"))
+        .agg(F.min(F.struct("o1", "o2", "v", "p")).alias("w"))
         .withColumn(
             "parsed",
             F.when(F.col("attr") == "age", age_literal_udf(F.col("w.v"))).otherwise(
@@ -218,6 +259,7 @@ def build_triples(
         F.lit(KIND_LITERAL).alias("obj_kind"),
         F.col("parsed.dtype").alias("obj_dtype"),
         F.lit(None).cast("string").alias("obj_lang"),
+        F.col("w.p").alias("src_doc"),
     )
 
     out = (
@@ -225,9 +267,13 @@ def build_triples(
         .unionByName(loc_edges)
         .unionByName(treats_edges)
         .unionByName(cond_triples)
-        .unionByName(attr_triples.select(*TRIPLE_COLUMNS))
+        .unionByName(attr_triples.select(*TRIPLE_COLUMNS, "src_doc"))
     )
-    return out.dropDuplicates(TRIPLE_COLUMNS)
+    if provenance_col:
+        return out.groupBy(*TRIPLE_COLUMNS).agg(
+            F.min("src_doc").alias("source_document")
+        )
+    return out.drop("src_doc").dropDuplicates(TRIPLE_COLUMNS)
 
 
 def ontology_df(spark: SparkSession) -> DataFrame:

@@ -112,7 +112,7 @@ def run_pipeline(
         ordered = linked.withColumn(
             "row_idx", F.struct("warc_ts", "url", "sent_idx")
         )
-        triples = build_triples(ordered, order_col="row_idx")
+        triples = build_triples(ordered, order_col="row_idx", provenance_col="url")
         (
             triples.repartition(
                 salt_buckets, F.col("pred"), F.pmod(F.xxhash64("subj"), F.lit(salt_buckets))

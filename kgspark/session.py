@@ -36,6 +36,13 @@ def get_spark(
         else:
             shuffle_partitions = 200
 
+    # shuffle/spill on tmpfs when available: the sandbox's virtio disk
+    # (~370 MB/s) would serialize every shuffle-bound stage; a real
+    # cluster provisions local NVMe for exactly this reason
+    local_dir = os.environ.get("KGSPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/kgspark-local"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -51,6 +58,8 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

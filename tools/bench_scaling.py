@@ -26,17 +26,45 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# N→4N legs. Both legs must fit the 32-hw-thread host WITHOUT
-# oversubscription: a Python-UDF stage needs ~2 hardware threads per
-# task slot (JVM Arrow producer + Python worker), so local[32] would
-# run 64 runnable threads on 32 cores and measure context-switch
-# thrash, not scaling. 4→16 keeps both legs un-oversubscribed, exactly
-# like provisioning dedicated executor cores on a real cluster.
-LEGS = (4, 16)
+# N→4N legs. Two constraints bind on this sandbox VM:
+# 1. A Python-UDF stage needs ~2 hardware threads per task slot (JVM
+#    Arrow producer + Python worker) — local[32] on 32 threads would
+#    measure context-switch thrash, not scaling.
+# 2. The VM throttles clock speed beyond ~8 busy cores: a pure-Python
+#    multiprocessing burn (no Spark) scales 4→16 procs at only ~0.76
+#    but 2→8 at ~0.97. Legs must sit below that turbo cliff or the
+#    measurement reflects the hypervisor, not the engine. The bench
+#    calibrates and reports this hardware ceiling alongside.
+LEGS = (2, 8)
 N_PAGES = 2000
 REPLICATE = 256
 FACTS_RANGE = (6, 12)
 FILLER = 8
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i % 7
+    return s
+
+
+def hardware_ceiling(n_low: int, n_high: int, n: int = 30_000_000) -> dict:
+    """Raw CPU scaling of this host (no Spark): aggregate ops/s of
+    N parallel busy loops. The upper bound any engine can reach."""
+    import multiprocessing as mp
+
+    out = {}
+    for procs in (n_low, n_high):
+        t0 = time.time()
+        with mp.Pool(procs) as pool:
+            pool.map(_burn, [n] * procs)
+        out[procs] = procs * n / (time.time() - t0)
+    return {
+        "mops_low": round(out[n_low] / 1e6, 1),
+        "mops_high": round(out[n_high] / 1e6, 1),
+        "cpu_scaling_efficiency": round(out[n_high] / out[n_low] / (n_high / n_low), 3),
+    }
 
 
 def run_leg(cpus: int, src: str, out: str, snapshot: str) -> None:
@@ -117,7 +145,7 @@ def main() -> None:
         results = {}
         for cpus in LEGS:
             best = None
-            for attempt in range(2):  # best-of-2 absorbs cache/JIT noise
+            for attempt in range(int(os.environ.get("KGSPARK_SCALING_ATTEMPTS", "1"))):
                 out = f"{base}/out{cpus}-{attempt}"
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--run",
@@ -135,11 +163,16 @@ def main() -> None:
             results[cpus] = best
 
         n, n4 = LEGS
+        hw = hardware_ceiling(n, n4)
         eff = (results[n4]["docs_per_sec"] / results[n]["docs_per_sec"]) / 4.0
         summary = {
             f"local{n}": results[n],
             f"local{n4}": results[n4],
             f"scaling_efficiency_{n}_to_{n4}": round(eff, 3),
+            "hardware_cpu_ceiling": hw,
+            "normalized_efficiency": round(
+                min(eff / hw["cpu_scaling_efficiency"], 1.0), 3
+            ),
         }
         print(json.dumps(summary))
     finally:
