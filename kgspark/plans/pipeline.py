@@ -140,7 +140,10 @@ def run_pipeline(
         nodes = nodes_from_triples(triples)
         edges = edges_from_triples(triples)
         nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
-        edges.write.mode("overwrite").parquet(f"{out_dir}/edges")
+        # edges partitioned by relation: the query layer always filters
+        # on rel, so Catalyst prunes whole directories (the Spark analog
+        # of the reference's per-relationship Neo4j indexes, A7)
+        edges.write.mode("overwrite").partitionBy("rel").parquet(f"{out_dir}/edges")
         nn = spark.read.parquet(f"{out_dir}/nodes").count()
         ne = spark.read.parquet(f"{out_dir}/edges").count()
         manifests.write_manifest(
