@@ -1063,3 +1063,53 @@ def answer_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract(F.col("props"), r"(-?\d+(?:\.\d+)?)", 1), F.lit("")
         ).alias("answer"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-safe holistic aggregation + BPE-ish token estimate
+# --------------------------------------------------------------------------
+
+@register(
+    "skew_safe_collect",
+    """
+SELECT o_custkey, list_sort(list_distinct(array_agg(o_orderpriority))) AS priorities
+FROM orders GROUP BY o_custkey
+""",
+)
+def skew_safe_collect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted collect_set == direct distinct-set aggregate."""
+    from kgspark.operators.skew import salted_collect_set
+
+    orders = _t(spark, sf_dir, "orders")
+    return salted_collect_set(
+        orders, "o_custkey", "o_orderpriority", out_col="priorities"
+    )
+
+
+@register(
+    "token_count_bpe",
+    f"""
+WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       list_sum(list_transform(toks, x -> (length(x) + 3) // 4))::BIGINT AS n_subwords_est
+FROM t
+""",
+)
+def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword estimate: ceil(len/4) units per token (the usual
+    ~4-chars-per-token heuristic), plus the exact regex token count."""
+    from kgspark.operators.fulltext import tokenize_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_col(F.col("text"))
+    docs = docs.select("doc_id", toks.alias("toks"))
+    return docs.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.aggregate(
+            "toks",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.floor((F.length(x) + 3) / 4).cast("long"),
+        ).alias("n_subwords_est"),
+    )
