@@ -182,10 +182,12 @@ def build_triples(
     Set-equal to ``kgspark.golden.fact_rows_to_triples`` on any input
     (asserted by tests/test_golden_rdf.py at P/R = 1.0).
 
-    With ``provenance_col`` (e.g. ``"url"``), the set-dedup becomes a
-    group-by that keeps the min source value per distinct triple in a
-    trailing ``source_document`` column — same triple set, plus lineage
-    (the reference's ``source_document`` stamping, B9/H2).
+    With ``provenance_col``, the set-dedup becomes a group-by keeping
+    the min source value per distinct triple in a trailing
+    ``source_ref`` column — same triple set, plus lineage (the
+    reference's ``source_document`` stamping, B9/H2). Pass a COMPACT
+    reference (e.g. ``xxhash64(url)``), not the url string: the value
+    rides every triple-candidate row through the dedup shuffle.
     """
     extra = [provenance_col] if provenance_col else []
     base = prepare_facts(facts, order_col, extra)
@@ -271,7 +273,7 @@ def build_triples(
     )
     if provenance_col:
         return out.groupBy(*TRIPLE_COLUMNS).agg(
-            F.min("src_doc").alias("source_document")
+            F.min("src_doc").alias("source_ref")
         )
     return out.drop("src_doc").dropDuplicates(TRIPLE_COLUMNS)
 

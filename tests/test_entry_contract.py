@@ -1,0 +1,26 @@
+"""Driver-contract invariants for __spark_entry__.py."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+
+def test_every_query_has_an_oracle():
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    missing = set(qs) - set(oracles)
+    # ops without a SQL-expressible oracle must be deliberate; currently none
+    assert not missing, missing
+
+
+def test_entry_runs_on_sf0001(spark):
+    df = entry_mod.entry(spark)
+    assert df.columns == ["subj", "pred", "obj", "obj_kind", "obj_dtype", "obj_lang"]
+    assert df.count() > 0
+
+
+def test_queries_run_on_vanilla_session(spark):
+    """A few representative queries must not depend on kgspark session conf."""
+    qs = entry_mod.queries()
+    for name in ["slugify_uri", "connected_components", "minhash_signatures"]:
+        assert qs[name](spark, "/root/testdata/sf0.001").count() > 0
