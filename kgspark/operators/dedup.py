@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kgspark.functions.hashing import h32_col, hword_col
+from kgspark.functions.hashing import h32_col
 from kgspark.operators.fulltext import tokenize_col
 
 

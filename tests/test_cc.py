@@ -68,3 +68,28 @@ def test_bfs_depth_and_cap(spark):
     assert got == {("a", 0), ("b", 1), ("e", 1), ("c", 2)}
     capped = k_hop_nodes(edf, "a", max_depth=3, max_nodes=3)
     assert [r.node for r in capped.collect()] == ["a", "b", "e"]
+
+
+def test_cc_large_random_graph(spark):
+    """5k nodes / 6k edges incl. a long chain — convergence + parity."""
+    rng = random.Random(17)
+    nodes = [f"x{i:04d}" for i in range(5000)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(5500)]
+    edges += [(nodes[i], nodes[i + 1]) for i in range(200)]  # diameter stressor
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id string").repartition(8)
+    edf = spark.createDataFrame(edges, "src string, dst string").repartition(8)
+    got = {r.id: r.component for r in connected_components(ndf, edf, "id").collect()}
+    assert got == _py_components(nodes, edges)
+
+
+def test_cc_auto_matches_distributed(spark):
+    from kgspark.operators.cc import connected_components_auto
+
+    rng = random.Random(23)
+    nodes = [f"y{i:03d}" for i in range(300)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(250)]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    auto = {r.id: r.component for r in connected_components_auto(ndf, edf, "id").collect()}
+    dist = {r.id: r.component for r in connected_components(ndf, edf, "id").collect()}
+    assert auto == dist == _py_components(nodes, edges)
