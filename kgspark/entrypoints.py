@@ -1113,3 +1113,76 @@ def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + F.floor((F.length(x) + 3) / 4).cast("long"),
         ).alias("n_subwords_est"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rows-only entries (no SQL-expressible oracle; the driver records a
+# weaker rows-only check — each is pinned exactly by pytest instead)
+# --------------------------------------------------------------------------
+
+def _healthcare_graph(spark: SparkSession):
+    from kgspark.operators.graph_build import edges_from_triples, nodes_from_triples
+    from kgspark.operators.rdf_build import build_triples
+    from kgspark.sources.csv_source import read_fact_csv
+
+    triples = build_triples(
+        read_fact_csv(spark, "/root/reference/data/healthcare.csv")
+    )
+    return triples, nodes_from_triples(triples), edges_from_triples(triples)
+
+
+@register("kg_pipeline_triples")
+def kg_pipeline_triples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full in-memory pipeline slice: synthetic web pages → mapInArrow
+    extraction → 3-tier linking → triples (exactness pinned by
+    tests/test_pipeline.py against the golden oracle)."""
+    from kgspark import datagen
+    from kgspark.extract.ner import extract_facts
+    from kgspark.operators.linking import link_facts
+    from kgspark.operators.rdf_build import build_triples
+
+    corpus = datagen.generate_corpus(n_pages=200, seed=31)
+    pages, aliases, canonicals = datagen.corpus_to_spark(spark, corpus)
+    facts = extract_facts(pages)
+    linked = link_facts(facts, aliases, canonicals)
+    ordered = linked.withColumn("row_idx", F.struct("warc_ts", "url", "sent_idx"))
+    return build_triples(ordered, order_col="row_idx")
+
+
+@register("kg_sparql_q1")
+def kg_sparql_q1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL golden Q1 on the graph built from the reference's own CSV."""
+    from kgspark.operators.kg_queries import sparql_q1
+
+    triples, _, _ = _healthcare_graph(spark)
+    return sparql_q1(triples)
+
+
+@register("kg_cypher_shape5")
+def kg_cypher_shape5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher example 5 (anchored count-distinct + avg age) on the
+    reference-CSV graph."""
+    from kgspark.operators.kg_queries import provider_patient_aggregates
+
+    _, nodes, edges = _healthcare_graph(spark)
+    return provider_patient_aggregates(nodes, edges, "Dr. John Smith", "Los Angeles")
+
+
+@register("multimodal_decode")
+def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media decode+featurize plumbing (stub codec, real batch
+    flow); determinism pinned by tests/test_multimodal.py."""
+    from kgspark.operators import multimodal as mm
+
+    media = mm.synthesize_media(spark, n=60)
+    return mm.decode_and_featurize(media)
+
+
+@register("bfs_khop_directed")
+def bfs_khop_directed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 2-hop BFS from a supplier node (iterative frontier op —
+    the recursive-CTE oracle covers the undirected variant)."""
+    from kgspark.operators.bfs import k_hop_nodes
+
+    edges = geo_edges(spark, sf_dir)
+    return k_hop_nodes(edges, "s1", max_depth=2, max_nodes=50, directed=True)

@@ -5,12 +5,20 @@ from __future__ import annotations
 import __spark_entry__ as entry_mod
 
 
-def test_every_query_has_an_oracle():
+# non-SQL-expressible ops: pinned exactly by pytest instead of DuckDB
+ROWS_ONLY = {
+    "kg_pipeline_triples",   # python extraction kernel (test_pipeline: P/R 1.0)
+    "kg_sparql_q1",          # reference-CSV graph (test_kg_queries: exact)
+    "kg_cypher_shape5",      # reference-CSV graph (test_kg_queries: exact)
+    "multimodal_decode",     # stub codec plumbing (test_multimodal)
+    "bfs_khop_directed",     # directed variant (undirected one is oracled)
+}
+
+
+def test_every_query_has_an_oracle_or_is_declared_rows_only():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
-    missing = set(qs) - set(oracles)
-    # ops without a SQL-expressible oracle must be deliberate; currently none
-    assert not missing, missing
+    assert set(qs) - set(oracles) == ROWS_ONLY
 
 
 def test_entry_runs_on_sf0001(spark):
