@@ -109,5 +109,19 @@ def extract_facts(webpages):
     (GB-scale allocator churn per worker); with Arrow batches the
     binary column stays in Arrow buffers and is decoded row-by-row
     only when the text fallback actually needs it.
+
+    Rows that already carry pre-extracted ``text`` get their html
+    payload nulled JVM-side before Arrow serialization — the
+    JVM→Python transfer is the contended resource, and those bytes
+    would never be touched.
     """
-    return webpages.mapInArrow(_extract_batches, schema=EXTRACT_SCHEMA)
+    from pyspark.sql import functions as F
+
+    pruned = webpages.withColumn(
+        "html",
+        F.when(
+            F.col("text").isNotNull() & (F.col("text") != ""),
+            F.lit(None).cast("binary"),
+        ).otherwise(F.col("html")),
+    )
+    return pruned.mapInArrow(_extract_batches, schema=EXTRACT_SCHEMA)

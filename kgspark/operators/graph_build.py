@@ -29,9 +29,6 @@ from kgspark.constants import (
     RDF_TYPE,
 )
 
-OBJECT_PREDICATES_DEFAULT = None  # derive: uri-valued, non-rdf:type
-
-
 def edges_from_triples(triples: DataFrame) -> DataFrame:
     """(src, rel, dst) — object-property triples, deduplicated (C5)."""
     return (
