@@ -247,8 +247,11 @@ def _ttl_tokens(text: str) -> list[str]:
             # attach datatype/lang suffix if present
             if text[i : i + 2] == "^^":
                 j = i + 2
-                while j < n and text[j] not in " \t\r\n;,.":
-                    j += 1
+                if j < n and text[j] == "<":  # full-IRI datatype (may contain '.')
+                    j = text.index(">", j) + 1
+                else:
+                    while j < n and text[j] not in " \t\r\n;,.":
+                        j += 1
                 lit += text[i:j]
                 i = j
             elif i < n and text[i] == "@":
