@@ -1072,17 +1072,26 @@ def answer_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "skew_safe_collect",
     """
-SELECT o_custkey, list_sort(list_distinct(array_agg(o_orderpriority))) AS priorities
+SELECT o_custkey,
+       array_to_string(list_sort(list_distinct(array_agg(o_orderpriority))), '|')
+         AS priorities
 FROM orders GROUP BY o_custkey
 """,
 )
 def skew_safe_collect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase salted collect_set == direct distinct-set aggregate."""
+    """Two-phase salted collect_set == direct distinct-set aggregate.
+
+    The set rides as a '|'-joined string at the query surface (the
+    driver's canonicalizer can't hash array cells); the array form
+    stays internal to salted_collect_set."""
     from kgspark.operators.skew import salted_collect_set
 
     orders = _t(spark, sf_dir, "orders")
-    return salted_collect_set(
+    sets = salted_collect_set(
         orders, "o_custkey", "o_orderpriority", out_col="priorities"
+    )
+    return sets.select(
+        "o_custkey", F.concat_ws("|", "priorities").alias("priorities")
     )
 
 
@@ -1175,7 +1184,20 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgspark.operators import multimodal as mm
 
     media = mm.synthesize_media(spark, n=60)
-    return mm.decode_and_featurize(media)
+    decoded = mm.decode_and_featurize(media)
+    # Driver surface: stringify the feature vector (the canonicalizer
+    # can't hash array cells); the array form stays internal.
+    return decoded.select(
+        "media_id",
+        "kind",
+        "decoded_width",
+        "decoded_height",
+        "decoded_duration_ms",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
+        ).alias("features_csv"),
+        "batch_rows",
+    )
 
 
 @register("bfs_khop_directed")

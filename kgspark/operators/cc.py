@@ -135,7 +135,15 @@ def connected_components_auto(
         rows = [
             (n, min(members)) for members in groups.values() for n in members
         ]
-        return spark.createDataFrame(rows, schema="id string, component string")
+        # Output schema tracks the input node-id type so the driver-side
+        # and distributed paths agree regardless of which one runs.
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = nodes.schema[node_col].dataType
+        schema = StructType(
+            [StructField("id", id_type), StructField("component", id_type)]
+        )
+        return spark.createDataFrame(rows, schema=schema)
     finally:
         sym.unpersist()
 

@@ -215,16 +215,20 @@ def resolve_mentions_local(
         ra, rb = find(m), find(r)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
+    # Groups must span ALL union-find members — mentions AND resolution
+    # targets. A canonical that appears only as a target (never verbatim
+    # as a mention) still anchors its component's representative;
+    # restrict the returned mapping to mention keys afterwards.
     groups: dict[str, list[str]] = {}
-    for m in resolved:
+    for m in set(resolved) | set(resolved.values()):
         groups.setdefault(find(m), []).append(m)
-    out: dict[str, str] = {}
+    rep_of: dict[str, str] = {}
     for members in groups.values():
         canon_members = sorted(x for x in members if x in canonical_set)
         rep = canon_members[0] if canon_members else min(members)
         for m in members:
-            out[m] = rep
-    return out
+            rep_of[m] = rep
+    return {m: rep_of[m] for m in resolved}
 
 
 def _tokenize_py(s: str) -> list[str]:
@@ -254,9 +258,12 @@ def link_facts(
         canonicals = aliases.select("canonical")
 
     distinct_mentions = facts.select(F.col(name_col).alias("name")).distinct()
-    sample = distinct_mentions.limit(driver_max_mentions + 1).collect()
+    # Cheap count-only probe (no row transfer) before deciding the
+    # driver path; collecting happens only once we know it fits.
+    n_mentions = distinct_mentions.count()
 
-    if len(sample) <= driver_max_mentions:
+    if n_mentions <= driver_max_mentions:
+        sample = distinct_mentions.collect()
         # adaptive driver path: the distinct surface-form set is bounded
         # by the entity inventory, so even a 10^12-doc corpus usually
         # lands here; saves ~15 Spark jobs of fixed latency

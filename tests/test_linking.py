@@ -59,3 +59,29 @@ def test_local_resolver_matches_distributed(spark):
     }
     local = resolve_mentions_local(mentions, dict(aliases), set(canonicals))
     assert local == distributed
+
+
+def test_local_resolver_target_only_canonical(spark):
+    """A canonical that appears only as an alias target (never verbatim
+    as a mention) must still anchor its component's representative
+    (regression: local union-find groups were built over mention keys
+    only, silently dropping the canonicalization)."""
+    from kgspark.operators.linking import resolve_mentions_local
+
+    canonicals = ["Dr. John Smith"]
+    aliases = [("Jon Smyth", "Dr. John Smith")]
+    mentions = ["Jon Smyth", "Someone Else"]
+
+    local = resolve_mentions_local(mentions, dict(aliases), set(canonicals))
+    assert local == {
+        "Jon Smyth": "Dr. John Smith",
+        "Someone Else": "Someone Else",
+    }
+
+    # parity with the distributed path, restricted to mention keys (the
+    # distributed mapping also carries rows for target-only nodes)
+    _, (m, a, c, res) = _run(spark, mentions, aliases, canonicals)
+    distributed = {
+        r.name: r.canonical_id for r in canonicalize_by_components(res, c).collect()
+    }
+    assert {k: distributed[k] for k in mentions} == local
