@@ -1125,6 +1125,362 @@ def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Healthcare-CSV oracle SQL (DuckDB mirrors of build_triples semantics on
+# the reference's own data/healthcare.csv, via read_csv)
+# --------------------------------------------------------------------------
+
+_HC_CSV = "/root/reference/data/healthcare.csv"
+
+
+def _parts_sql(expr: str) -> str:
+    """DuckDB mirror of ``multi_or_raw_col`` (textfns.py): split on
+    ``[|;,]``, trim, drop empties; non-empty cell whose parts all trim
+    away keeps the raw cell."""
+    p = (
+        f"list_filter(list_transform(string_split_regex({expr}, '[|;,]'),"
+        " t -> trim(t)), t -> t != '')"
+    )
+    return (
+        f"CASE WHEN {expr} = '' THEN []::VARCHAR[]"
+        f" WHEN len({p}) > 0 THEN {p} ELSE [{expr}] END"
+    )
+
+
+def _healthcare_ctes() -> str:
+    """Shared CTE block: gated/trimmed rows, the ordered mention stream
+    (provider, patient, specializations, locations — build_rdf.py:169-179),
+    first-wins names, and the deduplicated TREATS/LOCATED_AT edges."""
+    from kgspark.constants import (
+        CLS_LOCATION,
+        CLS_PATIENT,
+        CLS_PROVIDER,
+        CLS_SPECIALIZATION,
+    )
+
+    trim_cols = ", ".join(
+        f"trim(coalesce({c}, '')) AS {c}"
+        for c in [
+            "Provider", "Patient", "Specialization", "Location",
+            "Bio", "Patient_Age", "Patient_Gender", "Patient_Condition",
+        ]
+    )
+    return f"""
+raw AS (
+  SELECT *, row_number() OVER () AS row_idx
+  FROM read_csv('{_HC_CSV}', header=true, all_varchar=true)
+),
+ok AS (
+  SELECT row_idx, {trim_cols}
+  FROM raw
+  WHERE trim(coalesce(Provider, '')) != '' AND trim(coalesce(Patient, '')) != ''
+),
+specs AS (
+  SELECT row_idx, unnest({_parts_sql('Specialization')}) AS part,
+         generate_subscripts({_parts_sql('Specialization')}, 1) AS pos
+  FROM ok
+),
+hc_locs AS (
+  SELECT row_idx, len({_parts_sql('Specialization')}) AS nspec,
+         unnest({_parts_sql('Location')}) AS part,
+         generate_subscripts({_parts_sql('Location')}, 1) AS pos
+  FROM ok
+),
+hc_mentions AS (
+  SELECT row_idx, 0 AS seq, Provider AS label, {uri_sql('Provider')} AS uri,
+         '{CLS_PROVIDER}' AS cls FROM ok
+  UNION ALL SELECT row_idx, 1, Patient, {uri_sql('Patient')}, '{CLS_PATIENT}' FROM ok
+  UNION ALL SELECT row_idx, 1 + pos, part, {uri_sql('part')},
+         '{CLS_SPECIALIZATION}' FROM specs
+  UNION ALL SELECT row_idx, 1 + nspec + pos, part, {uri_sql('part')},
+         '{CLS_LOCATION}' FROM hc_locs
+),
+hc_names AS (
+  SELECT uri, label AS name FROM (
+    SELECT uri, label,
+           row_number() OVER (PARTITION BY uri ORDER BY row_idx, seq) AS rn
+    FROM hc_mentions) WHERE rn = 1
+),
+hc_treats AS (
+  SELECT DISTINCT {uri_sql('Provider')} AS src, {uri_sql('Patient')} AS dst FROM ok
+),
+hc_located AS (
+  SELECT DISTINCT {uri_sql('Provider')} AS src, {uri_sql('part')} AS dst
+  FROM (SELECT Provider, unnest({_parts_sql('Location')}) AS part FROM ok)
+)"""
+
+
+def _hc_sparql_q1_sql(provider_slug: str = "Dr_Jessica_Lee") -> str:
+    return f"""
+WITH {_healthcare_ctes()},
+conds AS (
+  SELECT DISTINCT {uri_sql('Patient')} AS p, part AS cond
+  FROM (SELECT Patient, unnest({_parts_sql('Patient_Condition')}) AS part FROM ok)
+)
+SELECT n.name AS "patientName", c.cond AS cond
+FROM hc_treats t
+JOIN hc_names n ON n.uri = t.dst
+JOIN conds c ON c.p = t.dst
+WHERE t.src = '{BASE}{provider_slug}'
+"""
+
+
+def _fulltext_anchor_ctes(alias: str, cls: str, tokens: list[str]) -> str:
+    """DuckDB mirror of operators/fulltext.py scoring: distinct query
+    tokens present in the candidate name, top-1 by (score DESC,
+    name ASC, id ASC)."""
+    toks = ", ".join(f"'{t}'" for t in tokens)
+    return f"""
+{alias}_toks AS (
+  SELECT DISTINCT id, name, tok FROM (
+    SELECT t.id, n.name,
+           unnest(list_filter(string_split_regex(lower(n.name), '[^a-z0-9]+'),
+                  x -> x != '')) AS tok
+    FROM hc_types t JOIN hc_names n ON n.uri = t.id
+    WHERE t.type = '{cls}')
+  WHERE tok IN ({toks})
+),
+{alias}_anchor AS (
+  SELECT id AS anchor_id, name AS anchor_name
+  FROM (SELECT id, name, count(*) AS score FROM {alias}_toks GROUP BY id, name)
+  ORDER BY score DESC, name ASC, id ASC LIMIT 1
+)"""
+
+
+def _hc_shape5_sql() -> str:
+    from kgspark.constants import CLS_LOCATION, CLS_PROVIDER
+
+    return f"""
+WITH {_healthcare_ctes()},
+hc_types AS (SELECT uri AS id, min(cls) AS type FROM hc_mentions GROUP BY uri),
+{_fulltext_anchor_ctes("prov", CLS_PROVIDER, ["dr", "john", "smith"])},
+{_fulltext_anchor_ctes("loc", CLS_LOCATION, ["los", "angeles"])},
+hc_ages AS (
+  SELECT uri AS id,
+         CASE WHEN try_cast(v AS BIGINT) IS NOT NULL
+              THEN CAST(try_cast(v AS BIGINT) AS VARCHAR) ELSE v END AS age
+  FROM (SELECT {uri_sql('Patient')} AS uri, Patient_Age AS v,
+               row_number() OVER (PARTITION BY {uri_sql('Patient')}
+                                  ORDER BY row_idx) AS rn
+        FROM ok WHERE Patient_Age != '') WHERE rn = 1
+),
+hp AS (
+  SELECT p.anchor_id, p.anchor_name, l.anchor_name AS matched_location
+  FROM hc_located e
+  JOIN prov_anchor p ON e.src = p.anchor_id
+  JOIN loc_anchor l ON e.dst = l.anchor_id
+)
+SELECT hp.anchor_name AS matched_provider, hp.matched_location,
+       count(DISTINCT t.dst) AS total_patients,
+       round(avg(try_cast(g.age AS DOUBLE)), 1) AS avg_age
+FROM hc_treats t
+JOIN hp ON t.src = hp.anchor_id
+LEFT JOIN hc_ages g ON g.id = t.dst
+GROUP BY hp.anchor_name, hp.matched_location
+"""
+
+
+def _ontology_values_sql() -> str:
+    from kgspark import golden
+
+    def q(v: str | None) -> str:
+        return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+
+    rows = sorted(golden.ontology_triples())
+    vals = ",\n".join(
+        f"({q(s)}, {q(p)}, {q(o)}, {q(k)}, {q(dt)}, {q(lg)})"
+        for (s, p, o, k, dt, lg) in rows
+    )
+    return (
+        "SELECT * FROM (VALUES\n" + vals +
+        "\n) AS t(subj, pred, obj, obj_kind, obj_dtype, obj_lang)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Entity-linking + canonicalization oracles (D6/H5/G3) over the driver's
+# tables: suppliers are the canonical inventory, alias/typo/noise mention
+# forms are derived deterministically from supplier/customer names.
+# --------------------------------------------------------------------------
+
+_LINK_FIXTURE_SQL = """
+link_canon AS (SELECT DISTINCT s_name AS canonical FROM supplier),
+link_aliases AS (
+  SELECT replace(s_name, 'Supplier#', 'Supp ') AS alias, s_name AS canonical
+  FROM supplier WHERE s_suppkey % 2 = 0
+),
+link_mentions AS (
+  SELECT DISTINCT name FROM (
+    SELECT s_name AS name FROM supplier WHERE s_suppkey % 3 = 0
+    UNION ALL
+    SELECT replace(s_name, 'Supplier#', 'Supp ') FROM supplier WHERE s_suppkey % 4 = 0
+    UNION ALL
+    SELECT replace(s_name, '#', ' no ') FROM supplier WHERE s_suppkey % 5 = 0
+    UNION ALL
+    SELECT c_name FROM customer WHERE c_custkey <= 15 OR c_custkey BETWEEN 200 AND 215
+  )
+)"""
+
+# md5 char-3-gram hashed bucket counts over '^'||lower(name)||'$' —
+# the DuckDB mirror of linking._char_ngram_vector (EMBED_DIM=64).
+def _ngram_vec_sql(src_cte: str, key: str) -> str:
+    s = f"'^' || lower({key}) || '$'"
+    return f"""(
+  SELECT {key} AS name, bucket, count(*)::DOUBLE AS w FROM (
+    SELECT {key}, ('0x' || substr(md5(g), 1, 8))::BIGINT % 64 AS bucket FROM (
+      SELECT {key}, unnest(list_transform(generate_series(1, length({s}) - 2),
+             i -> substr({s}, i, 3))) AS g
+      FROM {src_cte}))
+  GROUP BY {key}, bucket
+)"""
+
+
+def _resolution_ctes(threshold: float = 0.75) -> str:
+    """CTE block ending in ``resolution(name, resolved, method)`` — the
+    DuckDB mirror of operators/linking.resolve_mentions (3 tiers)."""
+    return f"""
+{_LINK_FIXTURE_SQL},
+t12 AS (
+  SELECT m.name, c.canonical AS r_exact, a.canonical AS r_alias
+  FROM link_mentions m
+  LEFT JOIN link_canon c ON m.name = c.canonical
+  LEFT JOIN link_aliases a ON m.name = a.alias
+),
+resolved_now AS (
+  SELECT name, coalesce(r_exact, r_alias) AS resolved,
+         CASE WHEN r_exact IS NOT NULL THEN 'exact' ELSE 'alias' END AS method
+  FROM t12 WHERE r_exact IS NOT NULL OR r_alias IS NOT NULL
+),
+unres AS (SELECT name FROM t12 WHERE r_exact IS NULL AND r_alias IS NULL),
+u_vec AS {_ngram_vec_sql('unres', 'name')},
+c_vec AS {_ngram_vec_sql('link_canon', 'canonical')},
+u_aa AS (SELECT name, sum(w * w) AS aa FROM u_vec GROUP BY name),
+c_aa AS (SELECT name AS canonical, sum(w * w) AS aa FROM c_vec GROUP BY name),
+u_tok AS (
+  SELECT DISTINCT name, tok FROM (
+    SELECT name, unnest(list_filter(string_split_regex(lower(name), '[^a-z0-9]+'),
+           x -> x != '')) AS tok FROM unres) WHERE tok != 'dr'
+),
+c_tok AS (
+  SELECT DISTINCT canonical, tok FROM (
+    SELECT canonical, unnest(list_filter(string_split_regex(lower(canonical), '[^a-z0-9]+'),
+           x -> x != '')) AS tok FROM link_canon) WHERE tok != 'dr'
+),
+blocked_pairs AS (
+  SELECT DISTINCT u.name, c.canonical
+  FROM u_tok u JOIN c_tok c ON u.tok = c.tok
+),
+pair_cos AS (
+  SELECT p.name, p.canonical,
+         d.dot / sqrt(ua.aa * ca.aa) AS cos
+  FROM blocked_pairs p
+  JOIN (SELECT uv.name, cv.name AS canonical, sum(uv.w * cv.w) AS dot
+        FROM u_vec uv JOIN c_vec cv ON uv.bucket = cv.bucket
+        GROUP BY uv.name, cv.name) d
+    ON d.name = p.name AND d.canonical = p.canonical
+  JOIN u_aa ua ON ua.name = p.name
+  JOIN c_aa ca ON ca.canonical = p.canonical
+),
+embedded AS (
+  SELECT name, canonical AS resolved, 'embedding' AS method FROM (
+    SELECT name, canonical,
+           row_number() OVER (PARTITION BY name ORDER BY cos DESC, canonical ASC) AS rn
+    FROM pair_cos WHERE cos >= {threshold}) WHERE rn = 1
+),
+leftovers AS (
+  SELECT name, name AS resolved, CAST(NULL AS VARCHAR) AS method
+  FROM unres WHERE name NOT IN (SELECT name FROM embedded)
+),
+resolution AS (
+  SELECT * FROM resolved_now
+  UNION ALL SELECT * FROM embedded
+  UNION ALL SELECT * FROM leftovers
+)"""
+
+
+_LINK_MENTIONS_SQL = f"""
+WITH {_resolution_ctes()}
+SELECT name, resolved, method FROM resolution
+"""
+
+_CANONICALIZE_CC_SQL = f"""
+WITH RECURSIVE {_resolution_ctes()},
+sa AS (SELECT name AS a, resolved AS b FROM resolution WHERE name != resolved),
+ud AS (SELECT a, b FROM sa UNION SELECT b, a FROM sa),
+cc_nodes AS (SELECT name AS id FROM resolution UNION SELECT a FROM ud),
+reach(id, lbl) AS (
+  SELECT id, id FROM cc_nodes
+  UNION
+  SELECT ud.b, reach.lbl FROM reach JOIN ud ON ud.a = reach.id
+),
+assign AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+rep AS (
+  SELECT a.component,
+         coalesce(min(CASE WHEN c.canonical IS NOT NULL THEN a.id END), min(a.id))
+           AS canonical_id
+  FROM assign a LEFT JOIN link_canon c ON a.id = c.canonical
+  GROUP BY a.component
+)
+SELECT a.id AS name, r.canonical_id
+FROM assign a JOIN rep r ON a.component = r.component
+"""
+
+
+def _link_fixture(spark: SparkSession, sf_dir: str):
+    """Spark twin of _LINK_FIXTURE_SQL: (mentions, aliases, canonicals)."""
+    sup = _t(spark, sf_dir, "supplier")
+    cus = _t(spark, sf_dir, "customer")
+    canonicals = sup.select(F.col("s_name").alias("canonical")).distinct()
+    alias_form = F.regexp_replace(F.col("s_name"), "Supplier#", "Supp ")
+    typo_form = F.regexp_replace(F.col("s_name"), "#", " no ")
+    aliases = sup.filter(F.col("s_suppkey") % 2 == 0).select(
+        alias_form.alias("alias"), F.col("s_name").alias("canonical")
+    )
+    mentions = (
+        sup.filter(F.col("s_suppkey") % 3 == 0).select(F.col("s_name").alias("name"))
+        .unionByName(sup.filter(F.col("s_suppkey") % 4 == 0).select(alias_form.alias("name")))
+        .unionByName(sup.filter(F.col("s_suppkey") % 5 == 0).select(typo_form.alias("name")))
+        .unionByName(
+            cus.filter(
+                (F.col("c_custkey") <= 15) | F.col("c_custkey").between(200, 215)
+            ).select(F.col("c_name").alias("name"))
+        )
+        .distinct()
+    )
+    return mentions, aliases, canonicals
+
+
+@register("link_mentions", _LINK_MENTIONS_SQL)
+def link_mentions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6/H5: 3-tier entity linking (exact, alias-broadcast, blocked
+    md5-n-gram embedding cosine) — reference identity semantics
+    build_rdf.py:129-136 / build_cypher_graph.py:22-27."""
+    from kgspark.operators.linking import resolve_mentions
+
+    mentions, aliases, canonicals = _link_fixture(spark, sf_dir)
+    return resolve_mentions(mentions, aliases, canonicals)
+
+
+@register("canonicalize_cc", _CANONICALIZE_CC_SQL)
+def canonicalize_cc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 ◆: connected-components canonicalization over same-as edges
+    (component rep = canonical member if any, else min member)."""
+    from kgspark.operators.linking import canonicalize_by_components, resolve_mentions
+
+    mentions, aliases, canonicals = _link_fixture(spark, sf_dir)
+    res = resolve_mentions(mentions, aliases, canonicals)
+    return canonicalize_by_components(res, canonicals)
+
+
+@register("kg_ontology", _ontology_values_sql())
+def kg_ontology_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static RDFS schema graph (build_rdf.py:47-109,
+    healthcare_ontology.ttl) as a queryable triples DataFrame."""
+    from kgspark.operators.rdf_build import ontology_df
+
+    return ontology_df(spark)
+
+
+# --------------------------------------------------------------------------
 # Rows-only entries (no SQL-expressible oracle; the driver records a
 # weaker rows-only check — each is pinned exactly by pytest instead)
 # --------------------------------------------------------------------------
@@ -1158,16 +1514,17 @@ def kg_pipeline_triples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_triples(ordered, order_col="row_idx")
 
 
-@register("kg_sparql_q1")
+@register("kg_sparql_q1", _hc_sparql_q1_sql())
 def kg_sparql_q1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SPARQL golden Q1 on the graph built from the reference's own CSV."""
+    """SPARQL golden Q1 on the graph built from the reference's own CSV
+    (oracle: read_csv + build_triples semantics mirrored in DuckDB)."""
     from kgspark.operators.kg_queries import sparql_q1
 
     triples, _, _ = _healthcare_graph(spark)
     return sparql_q1(triples)
 
 
-@register("kg_cypher_shape5")
+@register("kg_cypher_shape5", _hc_shape5_sql())
 def kg_cypher_shape5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cypher example 5 (anchored count-distinct + avg age) on the
     reference-CSV graph."""
@@ -1200,10 +1557,24 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bfs_khop_directed")
+@register(
+    "bfs_khop_directed",
+    f"""
+WITH RECURSIVE
+  e AS ({GEO_EDGES_SQL}),
+  walk(node, depth) AS (
+    SELECT 's1', 0
+    UNION
+    SELECT e.dst, walk.depth + 1 FROM walk JOIN e ON e.src = walk.node
+    WHERE walk.depth < 2
+  )
+SELECT node, depth FROM (SELECT node, min(depth) AS depth FROM walk GROUP BY node)
+ORDER BY depth, node LIMIT 50
+""",
+)
 def bfs_khop_directed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed 2-hop BFS from a supplier node (iterative frontier op —
-    the recursive-CTE oracle covers the undirected variant)."""
+    """Directed 2-hop BFS from a supplier node (iterative frontier op;
+    recursive-CTE oracle without the undirected symmetrization)."""
     from kgspark.operators.bfs import k_hop_nodes
 
     edges = geo_edges(spark, sf_dir)

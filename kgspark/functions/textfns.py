@@ -66,10 +66,43 @@ def mint_uri_col(label: Column) -> Column:
     return F.concat(F.lit(BASE), slugify_udf(label))
 
 
+# Python ``str.strip()`` strips every codepoint with ``str.isspace()``
+# True — tabs, newlines, NBSP, the Unicode space block — while Spark's
+# ``F.trim`` strips ASCII 0x20 only. The golden oracle
+# (build_rdf.py:157-164 / csv.DictReader + .strip()) uses Python
+# semantics, so the gate/first-wins columns must too. Enumerated
+# literally (Java's ``(?U)\s`` misses the 0x1c-0x1f separators Python
+# accepts); stays a native codegen'd regexp_replace, no UDF.
+_PY_WS = "".join(
+    map(
+        chr,
+        [
+            *range(0x09, 0x0E),  # \t \n \v \f \r
+            *range(0x1C, 0x21),  # FS GS RS US, space
+            0x85,
+            0xA0,
+            0x1680,
+            *range(0x2000, 0x200B),
+            0x2028,
+            0x2029,
+            0x202F,
+            0x205F,
+            0x3000,
+        ],
+    )
+)
+_PY_STRIP_RE = f"^[{_PY_WS}]+|[{_PY_WS}]+$"
+
+
+def py_strip_col(col: Column) -> Column:
+    """``str.strip()``-equivalent trim (Unicode whitespace class)."""
+    return F.regexp_replace(col, _PY_STRIP_RE, "")
+
+
 def split_parts_col(raw: Column) -> Column:
     """Trimmed, non-empty parts after splitting on ``[|;,]``."""
     return F.filter(
-        F.transform(F.split(raw, r"[|;,]"), lambda x: F.trim(x)),
+        F.transform(F.split(raw, r"[|;,]"), lambda x: py_strip_col(x)),
         lambda x: x != F.lit(""),
     )
 
@@ -86,10 +119,11 @@ def multi_or_raw_col(raw: Column) -> Column:
 
 
 def trim_all(df, cols: list[str]):
-    """Trim + null→'' for every listed column (csv.DictReader + .strip())."""
+    """Strip + null→'' for every listed column (csv.DictReader + .strip(),
+    Python whitespace semantics — see ``py_strip_col``)."""
     return df.select(
         *[c for c in df.columns if c not in cols],
-        *[F.trim(F.coalesce(F.col(c), F.lit(""))).alias(c) for c in cols],
+        *[py_strip_col(F.coalesce(F.col(c), F.lit(""))).alias(c) for c in cols],
     )
 
 
@@ -97,6 +131,7 @@ __all__ = [
     "slugify_udf",
     "age_literal_udf",
     "mint_uri_col",
+    "py_strip_col",
     "split_parts_col",
     "multi_or_raw_col",
     "trim_all",

@@ -33,14 +33,21 @@ EMBED_DIM = 64
 
 
 def _char_ngram_vector(name: str, dim: int = EMBED_DIM, n: int = 3) -> np.ndarray:
+    """Raw char-n-gram bucket counts (md5 hashing trick), UNnormalized.
+
+    Cosine is scale-invariant, so counts give the same similarity as
+    unit vectors — but integer-valued doubles make every dot product
+    exact in float64 regardless of summation order, so Spark
+    (sequential fold), numpy (pairwise sum) and the DuckDB oracle
+    (unspecified order) produce bit-identical cosines.
+    """
     s = f"^{(name or '').lower()}$"
     v = np.zeros(dim, dtype=np.float64)
     for i in range(max(len(s) - n + 1, 0)):
         g = s[i : i + n]
         h = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
         v[h % dim] += 1.0
-    norm = float(np.sqrt((v * v).sum()))
-    return v / norm if norm else v
+    return v
 
 
 @pandas_udf(ArrayType(DoubleType()))
@@ -185,6 +192,7 @@ def resolve_mentions_local(
     if todo:
         cands = sorted(canonical_set)
         cand_vecs = np.stack([_char_ngram_vector(c) for c in cands]) if cands else None
+        cand_aa = (cand_vecs * cand_vecs).sum(axis=1) if cands else None
         cand_tokens = [
             {t for t in _tokenize_py(c) if t != "dr"} for c in cands
         ]
@@ -193,10 +201,14 @@ def resolve_mentions_local(
             best = None
             if cand_vecs is not None and blocks:
                 mv = _char_ngram_vector(m)
+                m_aa = float(mv @ mv)
                 for i, c in enumerate(cands):
                     if not (blocks & cand_tokens[i]):
                         continue
-                    cos = float(mv @ cand_vecs[i])
+                    # denom mirrors cosine_col term-for-term:
+                    # sqrt(dot(a,a) * dot(b,b)) on exact integer dots
+                    denom = float(np.sqrt(m_aa * float(cand_aa[i])))
+                    cos = float(mv @ cand_vecs[i]) / denom if denom else 0.0
                     if cos >= threshold and (best is None or cos > best[0] or (cos == best[0] and c < best[1])):
                         best = (cos, c)
             resolved[m] = best[1] if best else m

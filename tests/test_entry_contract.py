@@ -8,10 +8,7 @@ import __spark_entry__ as entry_mod
 # non-SQL-expressible ops: pinned exactly by pytest instead of DuckDB
 ROWS_ONLY = {
     "kg_pipeline_triples",   # python extraction kernel (test_pipeline: P/R 1.0)
-    "kg_sparql_q1",          # reference-CSV graph (test_kg_queries: exact)
-    "kg_cypher_shape5",      # reference-CSV graph (test_kg_queries: exact)
     "multimodal_decode",     # stub codec plumbing (test_multimodal)
-    "bfs_khop_directed",     # directed variant (undirected one is oracled)
 }
 
 

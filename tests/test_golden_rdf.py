@@ -58,6 +58,16 @@ EDGE_ROWS = [
     dict(Provider="Bob  Stone", Patient="Bob Stone", Specialization="Self",
          Location="Boston", Bio="provider-bob bio", Patient_Age="0042",
          Patient_Gender="M", Patient_Condition="None"),
+    # Unicode/control whitespace padding: Python str.strip() removes
+    # tabs, newlines, NBSP — F.trim would not (regression: trim parity)
+    dict(Provider="Dr. Ann Lee\t", Patient=" Bob Stone\n",
+         Specialization=" Cardiology\t|  Oncology ", Location="\tBoston",
+         Bio=" padded bio\t", Patient_Age="\t70 ", Patient_Gender=" M\n",
+         Patient_Condition=" Asthma\t; Flu\n"),
+    # row dropped: patient is whitespace-only under Python semantics
+    dict(Provider="Dr. Ann Lee", Patient="\t \n", Specialization="s",
+         Location="l", Bio="b", Patient_Age="1", Patient_Gender="g",
+         Patient_Condition="c"),
 ]
 
 
