@@ -738,22 +738,30 @@ def _lsh_bands_sql() -> str:
     return " UNION ALL ".join(branches)
 
 
+_LSH_MAX_BUCKET = 10_000
+
 @register(
     "minhash_lsh_pairs",
     _MINHASH_SQL_BASE
     + f""",
-bands AS ({_lsh_bands_sql()})
+bands AS ({_lsh_bands_sql()}),
+kept AS (SELECT band, band_sig FROM bands
+         GROUP BY band, band_sig HAVING count(*) <= {_LSH_MAX_BUCKET}),
+bands_k AS (SELECT b.* FROM bands b JOIN kept USING (band, band_sig))
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM bands l JOIN bands r
+FROM bands_k l JOIN bands_k r
   ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
 """,
 )
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (4 bands × 4 rows)."""
+    """MinHash+LSH near-dup candidate pairs (4 bands × 4 rows), with
+    the degenerate-bucket cap mirrored in the oracle."""
     sigs = dedup.minhash_signatures(
         _t(spark, sf_dir, "documents"), num_hashes=_MINHASH_K, shingle_n=_SHINGLE_N
     )
-    return dedup.lsh_candidate_pairs(sigs, num_hashes=_MINHASH_K, bands=_LSH_BANDS)
+    return dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_MINHASH_K, bands=_LSH_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
 
 
 @register(
@@ -837,18 +845,49 @@ def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=10)
 
 
-@register(
-    "ann_neardup_pairs",
-    f"""
-SELECT id_a, id_b, cos FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_SQL}, 6) AS cos
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-) WHERE cos >= 0.35
-""",
+def _hyperplane_lsh_sql(
+    threshold: float, n_planes: int = 16, bands: int = 4, dim: int = 64
+) -> str:
+    """DuckDB mirror of similarity.cosine_neardup_pairs_lsh: the ±1
+    hyperplane constants are generated by the same md5 seeding and
+    embedded literally, so both engines bucket identically."""
+    planes = similarity.hyperplane_weights(n_planes, dim)
+    rows = n_planes // bands
+
+    def bit(p: int) -> str:
+        lit = "[" + ", ".join(str(w) for w in planes[p]) + "]"
+        return f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN '1' ELSE '0' END)"
+
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + " || ".join(bit(b * rows + r) for r in range(rows))
+        + " AS band_sig FROM v"
+        for b in range(bands)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_sig = r.band_sig AND l.vec_id < r.vec_id
 )
+SELECT id_a, id_b, cos FROM (
+  SELECT id_a, id_b, round({_COS_SQL}, 6) AS cos
+  FROM cand JOIN embeddings a ON a.vec_id = id_a
+            JOIN embeddings b ON b.vec_id = id_b
+) WHERE cos >= {threshold}
+"""
+
+
+@register("ann_neardup_pairs", _hyperplane_lsh_sql(threshold=0.35))
 def ann_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.35)."""
-    return similarity.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH
+    bucketing (the scale path — no all-pairs join; exact cosine runs
+    only inside signature buckets)."""
+    return similarity.cosine_neardup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, dim=64
+    )
 
 
 @register(

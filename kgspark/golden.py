@@ -315,17 +315,24 @@ def read_turtle(path: str) -> set[Triple]:
     def term(tok: str) -> tuple[str, str, str | None, str | None]:
         if tok.startswith('"'):
             dtype = lang = None
-            if "^^" in tok:
-                body_part, _, dt = tok.rpartition("^^")
-                dtype = expand(dt)
-            elif tok.rstrip().endswith('"'):
-                body_part = tok
-            elif "@" in tok and tok.rpartition("@")[0].endswith('"'):
-                body_part, _, lang = tok.rpartition("@")
+            # Locate the CLOSING quote first; ^^/@ are datatype/lang
+            # markers only AFTER it (a body containing '^^' or '@' —
+            # e.g. "a^^b" — must not be mis-split).
+            if tok.startswith('"""'):
+                quote_len = 3
+                end = tok.index('"""', 3) + 3
             else:
-                body_part = tok
-            quote = '"""' if body_part.startswith('"""') else '"'
-            inner = body_part[len(quote) : -len(quote)]
+                quote_len = 1
+                j = 1
+                while tok[j] != '"':
+                    j += 2 if tok[j] == "\\" else 1
+                end = j + 1
+            suffix = tok[end:]
+            if suffix.startswith("^^"):
+                dtype = expand(suffix[2:])
+            elif suffix.startswith("@"):
+                lang = suffix[1:]
+            inner = tok[quote_len : end - quote_len]
             return (_unescape_literal(inner), KIND_LITERAL, dtype, lang)
         return (expand(tok), KIND_URI, None, None)
 

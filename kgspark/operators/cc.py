@@ -86,6 +86,84 @@ def connected_components(
     return assign
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: every neighbor v > u re-points to min(Γ(u) ∪ {u})."""
+    und = e.select("a", "b").unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = und.groupBy("a").agg(F.min("b").alias("_mb"))
+    mins = mins.select("a", F.least("a", "_mb").alias("_m"))
+    return (
+        und.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: orient edges large→small; u and its ≤-neighbors
+    re-point to the minimum of the oriented neighborhood."""
+    oriented = e.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    mins = oriented.groupBy("a").agg(F.min("b").alias("_m"))
+    out = (
+        oriented.join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+        .unionByName(mins.select(F.col("a"), F.col("_m").alias("b")))
+    )
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Large-star/small-star CC — O(log n) rounds regardless of diameter.
+
+    The alternating-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): hash-min needs O(diameter)
+    rounds — fine for same-as/alias graphs (tiny diameter), pathological
+    on chain-shaped web graphs — while each large★/small★ round at least
+    halves tree heights. At the fixpoint every edge points node → its
+    component minimum. Output identical to ``connected_components``:
+    (id, component = min member id).
+    """
+    sym = undirected_closure(edges, src, dst)
+    all_nodes = (
+        nodes.select(F.col(node_col).alias("id"))
+        .unionByName(sym.select(F.col("a").alias("id")))
+        .distinct()
+    )
+
+    e = sym.localCheckpoint()
+    prev_fp = None
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        fp = e.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("x"),
+        ).first()
+        fp = (fp.n, fp.x)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # Fixpoint edges form stars (node → component min); a node can
+    # still carry both (u→m) from one star op in the final round — the
+    # min aggregate collapses it. Min nodes / isolated nodes self-map.
+    stars = e.groupBy("a").agg(F.min("b").alias("component"))
+    return all_nodes.join(stars, all_nodes.id == stars.a, "left").select(
+        "id", F.coalesce("component", "id").alias("component")
+    )
+
+
 def connected_components_auto(
     nodes: DataFrame,
     edges: DataFrame,
@@ -96,20 +174,23 @@ def connected_components_auto(
 ) -> DataFrame:
     """Size-adaptive CC: tiny graphs are solved driver-side.
 
-    The distributed hash-min loop costs ~4-8 Spark jobs of pure latency
-    per iteration — absurd for a same-as graph of a few thousand
-    distinct surface forms. If the (deduplicated) edge list fits the
-    driver comfortably, collect it, run union-find, and parallelize the
+    The distributed iteration costs ~4-8 Spark jobs of pure latency per
+    round — absurd for a same-as graph of a few thousand distinct
+    surface forms. If the (deduplicated) edge list fits the driver
+    comfortably, collect it, run union-find, and parallelize the
     assignment back; identical output (component = min member id) by
-    construction. Beyond the threshold, fall back to the iterative
-    DataFrame algorithm.
+    construction. Beyond the threshold, fall back to the alternating
+    large-star/small-star algorithm — O(log n) rounds independent of
+    diameter, the right default for graphs whose shape is unknown
+    (hash-min ``connected_components`` stays available for callers who
+    know their diameter is tiny).
     """
     spark = nodes.sparkSession
     sym = undirected_closure(edges, src, dst).persist()
     try:
         n_edges = sym.count()
         if n_edges > driver_max_edges:
-            return connected_components(nodes, edges, node_col, src, dst)
+            return connected_components_star(nodes, edges, node_col, src, dst)
 
         pairs = [(r.a, r.b) for r in sym.collect()]
         ids = {r[0] for r in nodes.select(F.col(node_col)).collect()}

@@ -113,14 +113,8 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
-) -> DataFrame:
-    """(doc_a, doc_b) candidate near-dup pairs: docs sharing ≥1 LSH band.
-
-    Band signature = concat of the band's minhash values; the self-join
-    runs per-bucket, so cost is Σ bucket² not n².
-    """
+def lsh_banded(signatures: DataFrame, num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """(doc_id, band, band_sig) — signatures split into LSH bands."""
     rows = num_hashes // bands
     per_band = []
     for b in range(bands):
@@ -135,6 +129,50 @@ def lsh_candidate_pairs(
     banded = per_band[0]
     for p in per_band[1:]:
         banded = banded.unionByName(p)
+    return banded
+
+
+def lsh_oversized_buckets(
+    banded: DataFrame, max_bucket: int
+) -> DataFrame:
+    """(band, band_sig, bucket_size) for buckets above the cap — the
+    observable drop log that pairs with ``max_bucket`` skipping."""
+    return (
+        banded.groupBy("band", "band_sig")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: docs sharing ≥1 LSH band.
+
+    Band signature = concat of the band's minhash values; the self-join
+    runs per-bucket, so cost is Σ bucket² not n² — EXCEPT when one
+    degenerate bucket (empty-ish docs, boilerplate-heavy shards) holds
+    a large fraction of the corpus and goes quadratic. ``max_bucket``
+    caps that: buckets larger than the cap are skipped (a band bucket
+    of 10k+ docs is a boilerplate cluster, not a useful candidate set —
+    exact dedup upstream already collapses true identical content).
+    Skipped buckets are enumerable via ``lsh_oversized_buckets`` so the
+    drop is observable, never silent.
+    """
+    banded = lsh_banded(signatures, num_hashes, bands)
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "band_sig").agg(
+            F.count("*").alias("_bsz")
+        )
+        banded = (
+            banded.join(
+                sizes.filter(F.col("_bsz") <= max_bucket), ["band", "band_sig"]
+            )
+            .drop("_bsz")
+        )
 
     left = banded.alias("l")
     right = banded.alias("r")

@@ -75,11 +75,115 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All (a < b) pairs with cosine ≥ threshold (embedding near-dup)."""
+    """All (a < b) pairs with cosine ≥ threshold — the EXACT baseline.
+
+    O(n²) BroadcastNestedLoopJoin: correctness ground truth for tests
+    only. The scale path is ``cosine_neardup_pairs_lsh``.
+    """
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def hyperplane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """±1 random-hyperplane components seeded from md5("plane|dim") —
+    deterministic and engine-independent, so the DuckDB oracle embeds
+    the exact same constants."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_signature_bands(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, band_sig): sign-LSH signature split into bands.
+
+    bit_p = [dot(v, hyperplane_p) >= 0]; band signature = the band's
+    bit-string. Vectors at angle θ agree on a bit with p = 1 - θ/π, so
+    near-duplicates collide in ≥1 band with high probability while the
+    bucket join stays Σ bucket², never n².
+    """
+    planes = hyperplane_weights(n_planes, dim)
+    rows = n_planes // bands
+    v = vectors.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    bits = [
+        F.when(
+            dot_col(F.col("v"), F.array(*[F.lit(w) for w in planes[p]])) >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in range(n_planes)
+    ]
+    banded = None
+    for b in range(bands):
+        part = v.select(
+            "id",
+            F.lit(b).alias("band"),
+            F.concat(*bits[b * rows : (b + 1) * rows]).alias("band_sig"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    return banded
+
+
+def cosine_neardup_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs via hyperplane-LSH bucketing + exact in-bucket cosine.
+
+    The scale path: candidates are (a < b) pairs sharing ≥1 signature
+    band (per-bucket self-join), then the exact cosine ≥ threshold
+    filter runs only inside buckets. Output ⊆ the exact baseline;
+    recall is tunable via (n_planes, bands) — with cos ≥ 0.95
+    (θ ≈ 18°, bit-agreement p ≈ 0.9) and 4 bands × 4 bits,
+    P(miss) = (1 - p⁴)^4 ≈ 2·10⁻⁴.
+    """
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    banded = hyperplane_signature_bands(
+        vectors, dim, n_planes, bands, id_col, vec_col
+    )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

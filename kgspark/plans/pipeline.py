@@ -62,9 +62,14 @@ def run_pipeline(
             src = src.filter(F.col("bucket").isin(todo))
         facts = extract_facts(src.select("url", "warc_ts", "html", "text", "lang"))
         facts = facts.withColumn("bucket", bucket_col(F.col("url"), n_buckets))
+        # Dynamic partition overwrite: re-processing a bucket REPLACES its
+        # partition instead of appending, so a crash between the parquet
+        # job commit and the manifest record cannot duplicate facts on
+        # resume (the bucket is simply rewritten with identical content).
         (
             facts.repartition(len(todo), "bucket")
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(f"{out_dir}/facts")
         )

@@ -93,3 +93,47 @@ def test_cc_auto_matches_distributed(spark):
     auto = {r.id: r.component for r in connected_components_auto(ndf, edf, "id").collect()}
     dist = {r.id: r.component for r in connected_components(ndf, edf, "id").collect()}
     assert auto == dist == _py_components(nodes, edges)
+
+
+def test_star_cc_matches_union_find(spark):
+    from kgspark.operators.cc import connected_components_star
+
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(150)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(110)]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.id: r.component
+        for r in connected_components_star(ndf, edf, "id").collect()
+    }
+    assert got == _py_components(nodes, edges)
+
+
+def test_star_cc_path_graph_logn_rounds(spark):
+    """A 10k-node path (diameter 10k, hash-min's worst case) must
+    converge within an O(log n) iteration budget."""
+    from kgspark.operators.cc import connected_components_star
+
+    n = 10_000
+    nodes = [f"v{i:05d}" for i in range(n)]
+    edges = [(nodes[i], nodes[i + 1]) for i in range(n - 1)]
+    ndf = spark.createDataFrame([(x,) for x in nodes], "id string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    # 2·log2(10k) ≈ 27 star rounds would be generous; the alternating
+    # algorithm typically lands well under log2(n). Budget = 20.
+    got = connected_components_star(ndf, edf, "id", max_iterations=20)
+    assert got.select("component").distinct().count() == 1
+    assert got.filter(F.col("component") == "v00000").count() == n
+
+
+def test_star_cc_includes_bare_endpoints_and_isolated(spark):
+    from kgspark.operators.cc import connected_components_star
+
+    ndf = spark.createDataFrame([("a",), ("z",)], "id string")
+    edf = spark.createDataFrame([("x", "y")], "src string, dst string")
+    got = {
+        r.id: r.component
+        for r in connected_components_star(ndf, edf, "id").collect()
+    }
+    assert got == {"a": "a", "z": "z", "x": "x", "y": "x"}

@@ -53,3 +53,70 @@ def test_simhash_near_identical_docs_collide(spark):
     assert sims[1] == sims[2]
     groups = dedup.simhash_dup_groups(dedup.simhash(docs)).collect()
     assert len(groups) == 1 and groups[0].bucket_size == 2
+
+
+def _mk_vectors(spark, n: int = 80, dim: int = 16, seed: int = 5):
+    """Vectors with planted near-duplicates (tiny perturbations)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, v))
+        if i % 4 == 0:  # plant a near-dup at cos ≈ 0.99+
+            rows.append((1000 + i, [x + rng.uniform(-0.02, 0.02) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_hyperplane_lsh_subset_and_recall(spark):
+    """LSH near-dup output ⊆ exact all-pairs output, with high recall at
+    the operator's design threshold (0.95)."""
+    from kgspark.operators import similarity
+
+    vecs = _mk_vectors(spark)
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in similarity.cosine_neardup_pairs(vecs, threshold=0.95).collect()
+    }
+    assert exact, "fixture must contain true near-dup pairs"
+    lsh = {
+        (r.id_a, r.id_b): r.cos
+        for r in similarity.cosine_neardup_pairs_lsh(
+            vecs, threshold=0.95, dim=16
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, cos in lsh.items():
+        assert cos == exact[k]
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, (recall, len(exact), len(lsh))
+
+
+def test_lsh_bucket_cap_skips_degenerate_bucket(spark):
+    """One boilerplate bucket (many docs with identical band signatures)
+    must not go quadratic: with the cap it contributes no pairs, is
+    reported by lsh_oversized_buckets, and normal pairs are unaffected."""
+    docs = _mk_docs(n=40)
+    # 30 identical boilerplate docs → every band bucket holds all 30
+    boiler = [(5000 + i, "the same boilerplate nav footer text " * 5) for i in range(30)]
+    df = spark.createDataFrame(docs + boiler, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df, num_hashes=16, shingle_n=3)
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(sigs, 16, 4, max_bucket=20).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(sigs, 16, 4, max_bucket=None).collect()
+    }
+    boiler_ids = {d for d, _ in boiler}
+    boiler_pairs = {(a, b) for (a, b) in uncapped if a in boiler_ids and b in boiler_ids}
+    assert boiler_pairs, "fixture must create a degenerate bucket"
+    assert capped == uncapped - boiler_pairs
+
+    over = dedup.lsh_oversized_buckets(
+        dedup.lsh_banded(sigs, 16, 4), max_bucket=20
+    ).collect()
+    assert over and all(r.bucket_size == 30 for r in over)

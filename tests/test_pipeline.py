@@ -78,3 +78,24 @@ def test_pipeline_resume_noop_and_partial(spark, tmp_path):
     assert metrics["extract"]["processed_buckets"] == 2
     assert metrics["extract"]["skipped_buckets"] == 2
     assert triple_set(spark.read.parquet(f"{out}/triples")) == first == expected
+
+
+def test_pipeline_crash_between_write_and_manifest_is_idempotent(spark, tmp_path):
+    """Crash window: parquet job committed but manifest not recorded.
+    The re-run must REPLACE the bucket partitions (dynamic partition
+    overwrite), not append duplicates."""
+    corpus, expected = _corpus_and_golden()
+    pages, aliases, canonicals = datagen.corpus_to_spark(spark, corpus)
+    out = str(tmp_path / "kg")
+    run_pipeline(spark, pages, aliases, out, snapshot="snap-1", canonicals=canonicals, n_buckets=4)
+    n_facts = spark.read.parquet(f"{out}/facts").count()
+
+    # simulate the crash: facts parquet is on disk, manifest is gone
+    (tmp_path / "kg" / "_manifests" / "extract.json").unlink()
+    for stage in ("link", "triples", "graph"):
+        (tmp_path / "kg" / "_manifests" / f"{stage}.json").unlink()
+
+    metrics = run_pipeline(spark, pages, aliases, out, snapshot="snap-1", canonicals=canonicals, n_buckets=4)
+    assert metrics["extract"]["processed_buckets"] == 4  # all re-run
+    assert spark.read.parquet(f"{out}/facts").count() == n_facts  # no dupes
+    assert triple_set(spark.read.parquet(f"{out}/triples")) == expected
