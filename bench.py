@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "simhash",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_neardup_pairs",
+    "link_mentions",
+    "canonicalize_cc",
     "ngram_jaccard_pairs",
     "quality_features",
     "lang_id",

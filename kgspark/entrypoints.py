@@ -1279,7 +1279,7 @@ def _fulltext_anchor_ctes(alias: str, cls: str, tokens: list[str]) -> str:
   WHERE tok IN ({toks})
 ),
 {alias}_anchor AS (
-  SELECT id AS anchor_id, name AS anchor_name
+  SELECT id AS anchor_id, name AS anchor_name, score AS anchor_score
   FROM (SELECT id, name, count(*) AS score FROM {alias}_toks GROUP BY id, name)
   ORDER BY score DESC, name ASC, id ASC LIMIT 1
 )"""
@@ -1553,6 +1553,137 @@ def kg_pipeline_triples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_triples(ordered, order_col="row_idx")
 
 
+def _query_tokens(query: str) -> list[str]:
+    import re
+
+    from kgspark.operators.fulltext import TOKEN_SPLIT
+
+    return [t for t in re.split(TOKEN_SPLIT, query.lower()) if t]
+
+
+def _hc_shape1_sql(provider_query: str = "Dr. Jessica Lee", limit: int = 100) -> str:
+    from kgspark.constants import CLS_PROVIDER
+
+    return f"""
+WITH {_healthcare_ctes()},
+hc_types AS (SELECT uri AS id, min(cls) AS type FROM hc_mentions GROUP BY uri),
+{_fulltext_anchor_ctes("prov", CLS_PROVIDER, _query_tokens(provider_query))}
+SELECT n.uri AS patient_id, n.name AS patient_name,
+       a.anchor_name AS matched_provider, a.anchor_score AS provider_score
+FROM hc_treats t
+JOIN prov_anchor a ON t.src = a.anchor_id
+JOIN hc_names n ON n.uri = t.dst
+ORDER BY provider_score DESC, patient_name ASC, patient_id ASC LIMIT {limit}
+"""
+
+
+def _hc_shape2_sql(provider_query: str = "Dr. Michael Brown", limit: int = 5) -> str:
+    from kgspark.constants import CLS_PROVIDER, P_SPECIALIZES_IN  # noqa: F401
+
+    return f"""
+WITH {_healthcare_ctes()},
+hc_types AS (SELECT uri AS id, min(cls) AS type FROM hc_mentions GROUP BY uri),
+{_fulltext_anchor_ctes("prov", CLS_PROVIDER, _query_tokens(provider_query))},
+hc_specs AS (
+  SELECT DISTINCT {uri_sql('Provider')} AS src, {uri_sql('part')} AS dst
+  FROM (SELECT Provider, unnest({_parts_sql('Specialization')}) AS part FROM ok)
+)
+SELECT n.uri AS specialization_id, n.name AS specialization,
+       a.anchor_name AS matched_provider, a.anchor_score AS provider_score
+FROM hc_specs e
+JOIN prov_anchor a ON e.src = a.anchor_id
+JOIN hc_names n ON n.uri = e.dst
+ORDER BY provider_score DESC, specialization ASC LIMIT {limit}
+"""
+
+
+def _hc_shape3_sql(location_query: str = "New York", limit: int = 25) -> str:
+    from kgspark.constants import CLS_LOCATION
+
+    return f"""
+WITH {_healthcare_ctes()},
+hc_types AS (SELECT uri AS id, min(cls) AS type FROM hc_mentions GROUP BY uri),
+{_fulltext_anchor_ctes("loc", CLS_LOCATION, _query_tokens(location_query))}
+SELECT DISTINCT n.uri AS provider_id, n.name AS provider_name,
+       a.anchor_name AS matched_location
+FROM hc_located e
+JOIN loc_anchor a ON e.dst = a.anchor_id
+JOIN hc_names n ON n.uri = e.src
+ORDER BY provider_name ASC, provider_id ASC LIMIT {limit}
+"""
+
+
+def _hc_shape4_sql(
+    provider_query: str = "Dr. John Smith",
+    location_query: str = "Los Angeles",
+    limit: int = 25,
+) -> str:
+    from kgspark.constants import CLS_LOCATION, CLS_PROVIDER
+
+    return f"""
+WITH {_healthcare_ctes()},
+hc_types AS (SELECT uri AS id, min(cls) AS type FROM hc_mentions GROUP BY uri),
+{_fulltext_anchor_ctes("prov", CLS_PROVIDER, _query_tokens(provider_query))},
+{_fulltext_anchor_ctes("loc", CLS_LOCATION, _query_tokens(location_query))},
+hp AS (
+  SELECT p.anchor_id, p.anchor_name, p.anchor_score,
+         l.anchor_name AS matched_location
+  FROM hc_located e
+  JOIN prov_anchor p ON e.src = p.anchor_id
+  JOIN loc_anchor l ON e.dst = l.anchor_id
+)
+SELECT n.uri AS patient_id, n.name AS patient_name,
+       hp.anchor_name AS matched_provider, hp.matched_location,
+       hp.anchor_score AS provider_score
+FROM hc_treats t
+JOIN hp ON t.src = hp.anchor_id
+JOIN hc_names n ON n.uri = t.dst
+ORDER BY provider_score DESC, patient_name ASC LIMIT {limit}
+"""
+
+
+@register("kg_cypher_shape1", _hc_shape1_sql())
+def kg_cypher_shape1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher example 1 (cypher_generator.py:25-36): anchored provider →
+    TREATS patients, ordered + capped."""
+    from kgspark.operators.kg_queries import patients_of_provider
+
+    _, nodes, edges = _healthcare_graph(spark)
+    return patients_of_provider(nodes, edges, "Dr. Jessica Lee")
+
+
+@register("kg_cypher_shape2", _hc_shape2_sql())
+def kg_cypher_shape2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher example 2 (cypher_generator.py:38-49): anchored provider's
+    specializations."""
+    from kgspark.operators.kg_queries import specializations_of_provider
+
+    _, nodes, edges = _healthcare_graph(spark)
+    return specializations_of_provider(nodes, edges, "Dr. Michael Brown")
+
+
+@register("kg_cypher_shape3", _hc_shape3_sql())
+def kg_cypher_shape3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher example 3 (cypher_generator.py:51-62): reverse traversal,
+    DISTINCT providers at the anchored location."""
+    from kgspark.operators.kg_queries import providers_at_location
+
+    _, nodes, edges = _healthcare_graph(spark)
+    return providers_at_location(nodes, edges, "New York")
+
+
+@register("kg_cypher_shape4", _hc_shape4_sql())
+def kg_cypher_shape4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher example 4 (cypher_generator.py:64-81): two anchors +
+    conjunctive 2-hop match."""
+    from kgspark.operators.kg_queries import patients_of_provider_at_location
+
+    _, nodes, edges = _healthcare_graph(spark)
+    return patients_of_provider_at_location(
+        nodes, edges, "Dr. John Smith", "Los Angeles"
+    )
+
+
 @register("kg_sparql_q1", _hc_sparql_q1_sql())
 def kg_sparql_q1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL golden Q1 on the graph built from the reference's own CSV
@@ -1561,6 +1692,67 @@ def kg_sparql_q1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     triples, _, _ = _healthcare_graph(spark)
     return sparql_q1(triples)
+
+
+def _hc_sparql_q2_sql(location_slug: str = "Los_Angeles") -> str:
+    return f"""
+WITH {_healthcare_ctes()},
+hc_specs AS (
+  SELECT DISTINCT {uri_sql('Provider')} AS src, {uri_sql('part')} AS dst
+  FROM (SELECT Provider, unnest({_parts_sql('Specialization')}) AS part FROM ok)
+)
+SELECT s.src AS doc, n.name AS "specName"
+FROM hc_located la
+JOIN hc_specs s ON s.src = la.src
+JOIN hc_names n ON n.uri = s.dst
+WHERE la.dst = '{BASE}{location_slug}'
+"""
+
+
+def _hc_sparql_q3_sql(min_age: int = 65, condition: str = "asthma") -> str:
+    from kgspark.constants import CLS_PATIENT
+
+    return f"""
+WITH {_healthcare_ctes()},
+hc_ages AS (
+  SELECT uri AS p,
+         CASE WHEN try_cast(v AS BIGINT) IS NOT NULL
+              THEN CAST(try_cast(v AS BIGINT) AS VARCHAR) ELSE v END AS age
+  FROM (SELECT {uri_sql('Patient')} AS uri, Patient_Age AS v,
+               row_number() OVER (PARTITION BY {uri_sql('Patient')}
+                                  ORDER BY row_idx) AS rn
+        FROM ok WHERE Patient_Age != '') WHERE rn = 1
+),
+hc_conds AS (
+  SELECT DISTINCT {uri_sql('Patient')} AS p, part AS c
+  FROM (SELECT Patient, unnest({_parts_sql('Patient_Condition')}) AS part FROM ok)
+),
+patients AS (SELECT DISTINCT uri AS p FROM hc_mentions WHERE cls = '{CLS_PATIENT}')
+SELECT n.name AS "pName", g.age AS age, c.c AS c
+FROM patients
+JOIN hc_names n ON n.uri = patients.p
+JOIN hc_ages g ON g.p = patients.p
+JOIN hc_conds c ON c.p = patients.p
+WHERE try_cast(g.age AS INTEGER) >= {min_age} AND lower(c.c) = '{condition}'
+"""
+
+
+@register("kg_sparql_q2", _hc_sparql_q2_sql())
+def kg_sparql_q2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL golden Q2 (same-subject star join) on the reference CSV."""
+    from kgspark.operators.kg_queries import sparql_q2
+
+    triples, _, _ = _healthcare_graph(spark)
+    return sparql_q2(triples)
+
+
+@register("kg_sparql_q3", _hc_sparql_q3_sql())
+def kg_sparql_q3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL golden Q3 (typed age/condition filter) on the reference CSV."""
+    from kgspark.operators.kg_queries import sparql_q3
+
+    triples, _, _ = _healthcare_graph(spark)
+    return sparql_q3(triples)
 
 
 @register("kg_cypher_shape5", _hc_shape5_sql())

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 TOKEN_SPLIT = r"[^a-z0-9]+"
 
@@ -55,13 +54,16 @@ def score_candidates(inverted: DataFrame, query: str) -> DataFrame:
 
 
 def fulltext_top1(inverted: DataFrame, query: str) -> DataFrame:
-    """The anchor op: best-matching entity, deterministic tie-break."""
-    w = Window.orderBy(F.desc("score"), F.asc("name"), F.asc("id"))
+    """The anchor op: best-matching entity, deterministic tie-break.
+
+    orderBy().limit(1) (not a global window): Catalyst plans it as
+    TakeOrderedAndProject — per-partition top-1 then a 1-row merge —
+    instead of sorting all candidates in a single partition.
+    """
     return (
         score_candidates(inverted, query)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .orderBy(F.desc("score"), F.asc("name"), F.asc("id"))
+        .limit(1)
     )
 
 
