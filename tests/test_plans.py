@@ -55,3 +55,16 @@ def test_edge_partition_pruning(spark, tmp_path):
     plan = physical(scan)
     assert "PartitionFilters" in plan and "TREATS" in plan, plan
     assert scan.count() == 2
+
+
+def test_neardup_lsh_has_no_nested_loop_join(spark):
+    """The embedding near-dup scale path must never plan an all-pairs
+    BroadcastNestedLoopJoin — candidates come from band-bucket hash
+    joins only."""
+    plan = physical(QUERIES["ann_neardup_pairs"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_fulltext_top1_plans_take_ordered(spark):
+    plan = physical(QUERIES["fulltext_top1"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
