@@ -84,14 +84,6 @@ def resolve_mentions(
         "name", "r_exact", "r_alias"
     )
 
-    resolved_now = step2.filter(
-        F.col("r_exact").isNotNull() | F.col("r_alias").isNotNull()
-    ).select(
-        "name",
-        F.coalesce("r_exact", "r_alias").alias("resolved"),
-        F.when(F.col("r_exact").isNotNull(), "exact").otherwise("alias").alias("method"),
-    )
-
     # tier 3: embedding cosine, token-blocked
     unresolved = step2.filter(
         F.col("r_exact").isNull() & F.col("r_alias").isNull()
@@ -115,12 +107,21 @@ def resolve_mentions(
     embedded = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("name", F.col("canonical").alias("resolved"), F.lit("embedding").alias("method"))
+        .select("name", F.col("canonical").alias("r_embed"))
     )
-    leftovers = unresolved.join(embedded, "name", "left_anti").select(
-        "name", F.col("name").alias("resolved"), F.lit(None).cast("string").alias("method")
+    # Single left join instead of union(resolved, embedded, leftovers):
+    # the union form re-executes step2 per branch and the UDF-scored
+    # subtree twice (once for embedded, once for the anti-join); this
+    # shape keeps the expensive tier-3 subtree in the plan exactly once.
+    return step2.join(embedded, "name", "left").select(
+        "name",
+        F.coalesce("r_exact", "r_alias", "r_embed", "name").alias("resolved"),
+        F.when(F.col("r_exact").isNotNull(), "exact")
+        .when(F.col("r_alias").isNotNull(), "alias")
+        .when(F.col("r_embed").isNotNull(), "embedding")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("method"),
     )
-    return resolved_now.unionByName(embedded).unionByName(leftovers)
 
 
 def sameas_edges(resolution: DataFrame) -> DataFrame:
@@ -142,6 +143,13 @@ def canonicalize_by_components(
     """
     from kgspark.operators.cc import connected_components_auto
 
+    # The resolution frame feeds the CC edge list, the CC node list, and
+    # the final representative join — three consumers of a plan whose hot
+    # tier is a pandas-UDF cosine. Materialize once at this reuse
+    # boundary (in production this is the linked-facts table written
+    # between the link and canonicalize stages) instead of re-executing
+    # the resolve per consumer.
+    resolution = resolution.localCheckpoint(eager=True)
     edges = sameas_edges(resolution)
     nodes = resolution.select(F.col("name").alias("id"))
     assign = connected_components_auto(nodes, edges, "id")
