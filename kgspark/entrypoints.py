@@ -1788,26 +1788,62 @@ def kg_cypher_shape5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return provider_patient_aggregates(nodes, edges, "Dr. John Smith", "Los Angeles")
 
 
-@register("multimodal_decode")
+def _multimodal_decode_sql(n: int = 60) -> str:
+    """DuckDB mirror of the stub decode: the synthetic payload is a pure
+    function of media_id (multimodal.py synthesize_media_bytes), so the
+    'decode' is re-derivable in SQL — body bytes via generate_series,
+    feature-bucket sums, one exact double division per bucket."""
+    f_cols = ", ".join(
+        f"coalesce(max(CASE WHEN j = {j} THEN f END) / total, 0.0) AS f{j}"
+        for j in range(8)
+    )
+    return f"""
+WITH meta AS (
+  SELECT i::BIGINT AS media_id,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         (i * 2654435761) % 4096 + 128 AS body_len
+  FROM range({n}) t(i)
+),
+dims AS (
+  SELECT media_id, kind, body_len,
+         CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (media_id % 8) * 32 END::INT AS decoded_width,
+         CASE WHEN kind = 'audio' THEN 0 ELSE 48 + (media_id % 5) * 32 END::INT AS decoded_height,
+         CASE WHEN kind = 'image' THEN 0 ELSE 1000 + media_id * 250 END::INT AS decoded_duration_ms
+  FROM meta
+),
+body AS (
+  SELECT m.media_id, u.i % 8 AS j, (m.media_id * 31 + u.i * 7) % 256 AS b
+  FROM meta m, unnest(generate_series(0, m.body_len - 1)) AS u(i)
+),
+feats AS (SELECT media_id, j, sum(b)::DOUBLE AS f FROM body GROUP BY media_id, j),
+tot AS (SELECT media_id, sum(f) AS total FROM feats GROUP BY media_id)
+SELECT d.media_id, d.kind, d.decoded_width, d.decoded_height, d.decoded_duration_ms,
+       {f_cols}
+FROM feats fe JOIN tot USING (media_id) JOIN dims d USING (media_id)
+GROUP BY d.media_id, d.kind, d.decoded_width, d.decoded_height, d.decoded_duration_ms, total
+"""
+
+
+@register("multimodal_decode", _multimodal_decode_sql())
 def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media decode+featurize plumbing (stub codec, real batch
-    flow); determinism pinned by tests/test_multimodal.py."""
+    flow); determinism pinned by tests/test_multimodal.py and the
+    generate_series DuckDB oracle (the stub payload is a pure function
+    of media_id, so the decode arithmetic is SQL-reproducible)."""
     from kgspark.operators import multimodal as mm
 
     media = mm.synthesize_media(spark, n=60)
     decoded = mm.decode_and_featurize(media)
-    # Driver surface: stringify the feature vector (the canonicalizer
-    # can't hash array cells); the array form stays internal.
+    # Driver surface: scalar double columns (the canonicalizer can't
+    # hash array cells); the array form stays internal. batch_rows is
+    # config-dependent (Arrow batch sizing) so it stays off this surface.
     return decoded.select(
         "media_id",
         "kind",
         "decoded_width",
         "decoded_height",
         "decoded_duration_ms",
-        F.concat_ws(
-            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
-        ).alias("features_csv"),
-        "batch_rows",
+        *[F.col("features")[j].alias(f"f{j}") for j in range(8)],
     )
 
 

@@ -70,11 +70,15 @@ def _decode_stub(payload: bytes) -> dict:
     for i, b in enumerate(body):
         feats[i % 8] += b
     total = sum(feats) or 1.0
+    # Raw IEEE ratios, no rounding: the sums and total are exact
+    # integer-valued doubles, so f/total is a single correctly-rounded
+    # division — bit-identical in any engine (this is what lets the
+    # DuckDB oracle reproduce the "decode" arithmetic exactly).
     return {
         "decoded_width": width,
         "decoded_height": height,
         "decoded_duration_ms": duration_ms,
-        "features": [round(f / total, 6) for f in feats],
+        "features": [f / total for f in feats],
     }
 
 

@@ -7,8 +7,8 @@ import __spark_entry__ as entry_mod
 
 # non-SQL-expressible ops: pinned exactly by pytest instead of DuckDB
 ROWS_ONLY = {
-    "kg_pipeline_triples",   # python extraction kernel (test_pipeline: P/R 1.0)
-    "multimodal_decode",     # stub codec plumbing (test_multimodal)
+    "kg_pipeline_triples",   # python extraction kernel over a driver-side
+                             # synthetic corpus (test_pipeline: P/R 1.0)
 }
 
 
