@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "bfs_khop",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "neardup_clusters",
     "simhash",
     "ann_cosine_topk",
     "ann_ivf_topk",

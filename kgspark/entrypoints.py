@@ -764,6 +764,54 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEARDUP_MIN_EST = 0.5
+
+_NEARDUP_CLUSTERS_SQL = (
+    _MINHASH_SQL_BASE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+bands AS ({_lsh_bands_sql()}),
+kept AS (SELECT band, band_sig FROM bands
+         GROUP BY band, band_sig HAVING count(*) <= {_LSH_MAX_BUCKET}),
+bands_k AS (SELECT b.* FROM bands b JOIN kept USING (band, band_sig)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands_k l JOIN bands_k r
+    ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ({' + '.join(f'CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END'
+                      for j in range(_MINHASH_K))}) / {float(_MINHASH_K)} AS sim_est
+  FROM cand c JOIN sigs a ON a.doc_id = c.doc_a JOIN sigs b ON b.doc_id = c.doc_b
+),
+kp AS (SELECT doc_a, doc_b FROM est WHERE sim_est >= {_NEARDUP_MIN_EST}),
+ud AS (SELECT doc_a AS a, doc_b AS b FROM kp UNION SELECT doc_b, doc_a FROM kp),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT ud.b, reach.lbl FROM reach JOIN ud ON ud.a = reach.id
+)
+SELECT id AS doc_id, min(lbl) AS canonical_id,
+       CASE WHEN id <> min(lbl) THEN 1 ELSE 0 END AS is_dup
+FROM reach GROUP BY id
+"""
+)
+
+
+@register("neardup_clusters", _NEARDUP_CLUSTERS_SQL)
+def neardup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: LSH candidates → MinHash-estimate
+    confirm → CC clustering → canonical keep-list (one row per doc)."""
+    return dedup.neardup_clusters(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_K,
+        bands=_LSH_BANDS,
+        shingle_n=_SHINGLE_N,
+        min_est=_NEARDUP_MIN_EST,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+
+
 @register(
     "ngram_jaccard_pairs",
     f"""
@@ -819,6 +867,34 @@ SELECT doc_id, {recompose} AS simhash FROM sums
 def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash content signatures."""
     return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_neardup_sql(max_hamming: int = 3, n_bands: int = 4) -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band,"
+        f" (simhash >> {8 * b}) & 255 AS byte FROM sim"
+        for b in range(n_bands)
+    )
+    return (
+        _simhash_sql().replace("\nSELECT doc_id,", ", sim AS (\nSELECT doc_id,", 1)
+        + f"""),
+banded AS ({bands}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.simhash AS sim_a, r.simhash AS sim_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.byte = r.byte AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+"""
+    )
+
+
+@register("simhash_neardup_pairs", _simhash_neardup_sql())
+def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole byte-banding."""
+    return dedup.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
 
 
 _COS_SQL = (
@@ -1015,6 +1091,29 @@ def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokenize_col(F.col("text"))).alias("n_tokens"),
         F.size(ws).alias("n_ws_tokens"),
     )
+
+
+@register(
+    "corpus_token_stats",
+    f"""
+WITH tc AS (SELECT len({tokens_sql('text')}) AS n_tokens FROM documents),
+hist AS (SELECT n_tokens, count(*) AS cnt FROM tc GROUP BY n_tokens),
+cum AS (SELECT n_tokens, sum(cnt) OVER (ORDER BY n_tokens) AS cum FROM hist),
+tot AS (SELECT count(*) AS n_docs, sum(n_tokens) AS total_tokens FROM tc)
+SELECT t.n_docs, t.total_tokens,
+       t.total_tokens / t.n_docs AS avg_tokens,
+       min(c.n_tokens) AS min_tokens,
+       max(c.n_tokens) AS max_tokens,
+       min(CASE WHEN c.cum >= floor(0.5 * (t.n_docs - 1)) + 1 THEN c.n_tokens END) AS p50_tokens,
+       min(CASE WHEN c.cum >= floor(0.9 * (t.n_docs - 1)) + 1 THEN c.n_tokens END) AS p90_tokens
+FROM cum c, tot t
+GROUP BY t.n_docs, t.total_tokens
+""",
+)
+def corpus_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length report (exact index quantiles over the
+    token-count histogram — never a global sort)."""
+    return textops.corpus_token_stats(_t(spark, sf_dir, "documents"))
 
 
 _GAZETTEER = ["customer", "order", "part", "supplier", "join", "filter", "window", "stream"]

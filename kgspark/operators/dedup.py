@@ -256,3 +256,133 @@ def simhash_dup_groups(sim: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("bucket_size"), F.min("doc_id").alias("rep_doc"))
         .filter(F.col("bucket_size") > 1)
     )
+
+
+def minhash_estimate_pairs(
+    signatures: DataFrame, pairs: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """(doc_a, doc_b, sim_est): Jaccard estimate from signature agreement.
+
+    The classic MinHash estimator — fraction of equal signature slots —
+    applied only to already-blocked candidate pairs: two narrow
+    broadcast-able joins against the signature table, no shingle
+    re-scan. k/16-valued doubles are exactly representable, so the
+    threshold compare downstream is engine-exact.
+    """
+    a = signatures.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(num_hashes)],
+    )
+    b = signatures.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(num_hashes)],
+    )
+    matches = None
+    for j in range(num_hashes):
+        term = F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b", (matches / F.lit(float(num_hashes))).alias("sim_est")
+        )
+    )
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_est: float = 0.5,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering: the operation a 100 TB
+    training-data pipeline actually runs (pairs alone aren't actionable).
+
+    signatures → LSH candidate pairs → MinHash-estimate confirmation
+    (≥ ``min_est``) → connected components over confirmed pairs →
+    per-cluster canonical (min doc id). Returns one row per document:
+    (doc_id, canonical_id, is_dup 0/1); the keep-list is
+    ``is_dup = 0``, and transitive near-dup chains collapse into one
+    cluster exactly like entity canonicalization (operators/linking.py)
+    collapses coreferent surface forms.
+    """
+    from kgspark.operators.cc import connected_components_auto
+
+    sigs = minhash_signatures(
+        docs, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+    )
+    cand = lsh_candidate_pairs(
+        sigs, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
+    )
+    confirmed = minhash_estimate_pairs(sigs, cand, num_hashes).filter(
+        F.col("sim_est") >= min_est
+    )
+    nodes = docs.select(F.col(id_col).alias("id"))
+    edges = confirmed.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    assign = connected_components_auto(nodes, edges, "id")
+    return assign.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        F.when(F.col("id") != F.col("component"), 1).otherwise(0).alias("is_dup"),
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): SimHash near-dup pairs, banded scalably.
+
+    Pigeonhole banding: any two 32-bit simhashes within Hamming
+    distance ≤ 3 agree exactly on at least one of their 4 bytes, so
+    candidates come from a per-(band, byte) bucket self-join — Σ
+    bucket², never n² — then the exact ``bit_count(xor)`` check runs
+    only inside buckets. Same candidate-generation shape as MinHash-LSH
+    (`lsh_candidate_pairs`) and hyperplane-LSH (similarity.py).
+    """
+    n_bands = 4
+    assert max_hamming < n_bands, "pigeonhole banding needs max_hamming < bands"
+    sim = simhash(docs, id_col=id_col, text_col=text_col)
+    banded = None
+    for b in range(n_bands):
+        part = sim.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("byte"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.byte") == F.col("r.byte"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

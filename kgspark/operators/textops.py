@@ -84,3 +84,51 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.col(id_col).alias("doc_id"),
         F.md5(normalize_text_col(F.col(text_col)).cast("binary")).alias("fingerprint"),
     )
+
+
+def corpus_token_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """One-row corpus token statistics: the report a training-data run
+    emits before/after filtering (doc count, total/avg tokens, exact
+    length quantiles).
+
+    Quantile q is defined index-exactly — the value at position
+    ``floor(q·(n-1))`` of the sorted per-doc token counts — an
+    interpolation-free definition every engine reproduces bit-for-bit
+    (approx_percentile is the looser production alternative; this one
+    is oracle-exact).
+
+    Scale shape: one groupBy collapses the corpus to a token-count
+    histogram (distinct doc lengths ≪ docs, bounded by max doc size),
+    and the cumulative window runs over that histogram — never a global
+    sort of the full table.
+    """
+    from pyspark.sql.window import Window
+
+    tc = docs.select(token_count_col(F.col(text_col)).alias("n_tokens"))
+    hist = tc.groupBy("n_tokens").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    totals = tc.agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+    joined = cum.crossJoin(F.broadcast(totals))
+    picks = []
+    for q in quantiles:
+        tgt = F.floor(F.lit(q) * (F.col("n_docs") - 1)) + 1
+        picks.append(
+            F.min(F.when(F.col("cum") >= tgt, F.col("n_tokens"))).alias(
+                f"p{int(q * 100)}_tokens"
+            )
+        )
+    return joined.agg(
+        F.max("n_docs").alias("n_docs"),
+        F.max("total_tokens").alias("total_tokens"),
+        (F.max("total_tokens") / F.max("n_docs")).alias("avg_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        *picks,
+    )

@@ -120,3 +120,52 @@ def test_lsh_bucket_cap_skips_degenerate_bucket(spark):
         dedup.lsh_banded(sigs, 16, 4), max_bucket=20
     ).collect()
     assert over and all(r.bucket_size == 30 for r in over)
+
+
+def test_neardup_clusters_transitive_chain(spark):
+    """A≈B and B≈C (A,C not directly similar enough to pair) must still
+    collapse into ONE cluster with the min doc id canonical — the CC
+    semantics that make the keep-list correct under dup chains."""
+    base = [f"w{i}" for i in range(60)]
+    a = " ".join(base)
+    b = " ".join(["zz" if i in (5, 6, 7) else w for i, w in enumerate(base)])
+    c = " ".join(["zz" if i in (5, 6, 7, 30, 31, 32) else w
+                  for i, w in enumerate(base)])
+    other = " ".join(f"q{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, other)], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.canonical_id, r.is_dup)
+           for r in dedup.neardup_clusters(docs, min_est=0.5).collect()}
+    assert out[1] == (1, 0)
+    assert out[2] == (1, 1)
+    assert out[3] == (1, 1)
+    assert out[9] == (9, 0)
+
+
+def test_neardup_clusters_covers_every_doc(spark):
+    docs = spark.createDataFrame(_mk_docs(n=40), "doc_id long, text string")
+    out = dedup.neardup_clusters(docs).collect()
+    assert len(out) == docs.count()
+    ids = {r.doc_id for r in out}
+    canon = {r.canonical_id for r in out}
+    assert canon <= ids  # canonical is always a member
+    keep = [r for r in out if r.is_dup == 0]
+    assert {r.canonical_id for r in out} == {r.doc_id for r in keep}
+
+
+def test_simhash_neardup_matches_bruteforce(spark):
+    """Byte-banded candidate generation must lose nothing vs the n²
+    all-pairs check (pigeonhole guarantee for hamming <= 3)."""
+    docs = spark.createDataFrame(_mk_docs(n=60), "doc_id long, text string")
+    sim = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    brute = {
+        (a, b, bin(sim[a] ^ sim[b]).count("1"))
+        for a in sim for b in sim
+        if a < b and bin(sim[a] ^ sim[b]).count("1") <= 3
+    }
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_neardup_pairs(docs).collect()
+    }
+    assert banded == brute

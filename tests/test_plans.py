@@ -37,7 +37,8 @@ def test_textops_stay_jvm_side(spark):
     """Quality/lang-id/fingerprint/token plans must contain no Python
     evaluation operators — everything whole-stage-codegen'd."""
     for name in ["quality_features", "lang_id", "doc_fingerprint", "token_count",
-                 "minhash_signatures", "simhash", "ann_cosine_topk"]:
+                 "minhash_signatures", "simhash", "simhash_neardup_pairs",
+                 "ann_cosine_topk"]:
         plan = physical(QUERIES[name](spark, SF_DIR))
         assert "EvalPython" not in plan, (name, plan)
 

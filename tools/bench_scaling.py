@@ -2,8 +2,10 @@
 
 No real cluster exists in this sandbox, so per the driver instruction
 the same pipeline job runs on the same materialized input at two
-parallelism levels — local[8] and local[32] — in separate JVMs
-(subprocesses), and efficiency = (throughput@32 / throughput@8) / 4.
+parallelism levels — in separate JVMs, each launched exactly the way
+production launches (``spark-submit --py-files dist/kgspark.zip
+tools/submit_job.py``, kgspark imported from the zip) — and
+efficiency = (throughput@4N / throughput@N) / 4.
 
 The corpus is sized so data-parallel work (extraction, triple build,
 set dedup) dominates fixed per-job latency, which is the regime the
@@ -134,6 +136,9 @@ def main() -> None:
         run_leg(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
         return
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spark_submit = shutil.which("spark-submit")
+
     # tmpfs workspace: measuring CPU scaling, not the sandbox's virtio
     # disk; also avoids page-flush interference between legs
     root = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -142,20 +147,45 @@ def main() -> None:
     try:
         print(f"generating corpus ({N_PAGES}x{REPLICATE} pages) ...", file=sys.stderr)
         prepare_corpus(src)
+
+        # production launch shape: kgspark shipped as a --py-files zip
+        if spark_submit:
+            from tools.make_pyfiles import build
+
+            zip_path = build(f"{base}/kgspark.zip")
+
         results = {}
         for cpus in LEGS:
             best = None
             for attempt in range(int(os.environ.get("KGSPARK_SCALING_ATTEMPTS", "1"))):
                 out = f"{base}/out{cpus}-{attempt}"
+                if spark_submit:
+                    # driver JVM flags must come from spark-submit itself:
+                    # builder-time spark.driver.memory is ignored once the
+                    # JVM is up (in local mode executors share that heap)
+                    cmd = [
+                        spark_submit, "--master", f"local[{cpus}]",
+                        "--driver-memory",
+                        os.environ.get("KGSPARK_DRIVER_MEM", "8g"),
+                        "--py-files", zip_path,
+                        os.path.join(repo, "tools", "submit_job.py"),
+                        "pipeline", "--src", src, "--out", out,
+                        "--snapshot", f"scal-{cpus}-{attempt}",
+                        "--n-buckets", "64", "--master-hint", f"local[{cpus}]",
+                    ]
+                    env = dict(os.environ, PYTHONPATH="")
+                else:  # plain-python fallback (no spark-submit on PATH)
+                    cmd = [sys.executable, os.path.abspath(__file__), "--run",
+                           str(cpus), src, out, f"scal-{cpus}-{attempt}"]
+                    env = dict(os.environ)
                 r = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--run",
-                     str(cpus), src, out, f"scal-{cpus}-{attempt}"],
-                    capture_output=True, text=True, check=False,
+                    cmd, capture_output=True, text=True, check=False, env=env,
                 )
                 if r.returncode != 0:
                     print(r.stdout, r.stderr[-2000:], file=sys.stderr)
                     raise SystemExit(1)
                 leg = json.loads(r.stdout.strip().splitlines()[-1])
+                leg["cpus"] = cpus
                 print(json.dumps(leg), file=sys.stderr)
                 shutil.rmtree(out, ignore_errors=True)
                 if best is None or leg["sec"] < best["sec"]:
