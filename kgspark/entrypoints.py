@@ -1000,9 +1000,7 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in textops.LANG_STOPWORDS["en"]) + "]"
 
 
-@register(
-    "quality_features",
-    f"""
+_QUALITY_SQL = f"""
 WITH base AS (
   SELECT doc_id, text, {tokens_sql('text')} AS toks,
          length(text) AS n_chars,
@@ -1028,8 +1026,10 @@ SELECT doc_id, n_chars, n_tokens,
        round(0.4 * length_score + 0.3 * (1.0 - punct_ratio)
              + 0.3 * least(stop_ratio * 5.0, 1.0), 6) AS quality_score
 FROM feat
-""",
-)
+"""
+
+
+@register("quality_features", _QUALITY_SQL)
 def quality_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality scoring (length/punct/stopword heuristics)."""
     return textops.quality_features(_t(spark, sf_dir, "documents"))
@@ -1114,6 +1114,43 @@ def corpus_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-length report (exact index quantiles over the
     token-count histogram — never a global sort)."""
     return textops.corpus_token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _corpus_filter_sql(
+    lang: str = "en", min_tokens: int = 20, min_quality: float = 0.5
+) -> str:
+    keep_cond = (
+        f"li.pred_lang = '{lang}' AND qf.n_tokens >= {min_tokens} "
+        f"AND qf.quality_score >= {min_quality} "
+        "AND ex.is_exact_dup = 0 AND nd.is_dup = 0"
+    )
+    return f"""
+WITH qf AS ({_QUALITY_SQL}),
+li AS ({_lang_id_sql()}),
+fp AS (SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+       FROM documents),
+ex0 AS (SELECT fingerprint, min(doc_id) AS keeper FROM fp GROUP BY fingerprint),
+ex AS (SELECT fp.doc_id,
+              CASE WHEN fp.doc_id <> ex0.keeper THEN 1 ELSE 0 END AS is_exact_dup
+       FROM fp JOIN ex0 USING (fingerprint)),
+nd AS ({_NEARDUP_CLUSTERS_SQL})
+SELECT qf.doc_id, li.pred_lang, qf.n_tokens, qf.quality_score,
+       CASE WHEN li.pred_lang = '{lang}' THEN 1 ELSE 0 END AS lang_ok,
+       CASE WHEN qf.n_tokens >= {min_tokens}
+                 AND qf.quality_score >= {min_quality} THEN 1 ELSE 0 END AS quality_ok,
+       ex.is_exact_dup, nd.is_dup AS is_near_dup,
+       CASE WHEN {keep_cond} THEN 1 ELSE 0 END AS keep
+FROM qf
+JOIN li USING (doc_id) JOIN ex USING (doc_id) JOIN nd USING (doc_id)
+"""
+
+
+@register("corpus_filter", _corpus_filter_sql())
+def corpus_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-corpus gate: lang + quality + exact-dup +
+    near-dup flags and the final keep verdict, one row per doc."""
+    return textops.corpus_filter(_t(spark, sf_dir, "documents"))
 
 
 _GAZETTEER = ["customer", "order", "part", "supplier", "join", "filter", "window", "stream"]
@@ -1498,10 +1535,18 @@ u_tok AS (
     SELECT name, unnest(list_filter(string_split_regex(lower(name), '[^a-z0-9]+'),
            x -> x != '')) AS tok FROM unres) WHERE tok != 'dr'
 ),
-c_tok AS (
+c_tok_d AS (
   SELECT DISTINCT canonical, tok FROM (
     SELECT canonical, unnest(list_filter(string_split_regex(lower(canonical), '[^a-z0-9]+'),
            x -> x != '')) AS tok FROM link_canon) WHERE tok != 'dr'
+),
+-- DF-capped blocking (linking.blocking_df_cap): hub tokens carried by
+-- more than max(10, 1%) of canonicals are not blocking keys
+blk_cap AS (SELECT greatest(10, count(*) // 100) AS cap FROM link_canon),
+tok_df AS (SELECT tok, count(*) AS df FROM c_tok_d GROUP BY tok),
+c_tok AS (
+  SELECT c.canonical, c.tok FROM c_tok_d c
+  JOIN tok_df USING (tok), blk_cap WHERE tok_df.df <= blk_cap.cap
 ),
 blocked_pairs AS (
   SELECT DISTINCT u.name, c.canonical

@@ -91,12 +91,16 @@ _PY_WS = "".join(
         ],
     )
 )
-_PY_STRIP_RE = f"^[{_PY_WS}]+|[{_PY_WS}]+$"
-
-
 def py_strip_col(col: Column) -> Column:
-    """``str.strip()``-equivalent trim (Unicode whitespace class)."""
-    return F.regexp_replace(col, _PY_STRIP_RE, "")
+    """``str.strip()``-equivalent trim (Unicode whitespace set).
+
+    ``btrim(str, trimStr)`` is a native character-SET strip (single
+    scan, codegen'd) — measurably cheaper than a regexp_replace with
+    this class: the triples stage applies it per fact column and again
+    per split part across every branch, so at 4.6M fact rows the regex
+    version doubled the stage's wall time.
+    """
+    return F.call_function("btrim", col, F.lit(_PY_WS))
 
 
 def split_parts_col(raw: Column) -> Column:

@@ -27,7 +27,6 @@ from pyspark.sql.types import ArrayType, DoubleType
 from pyspark.sql.window import Window
 
 from kgspark.operators.fulltext import tokenize_col
-from kgspark.operators.similarity import cosine_col
 
 EMBED_DIM = 64
 
@@ -61,6 +60,30 @@ def _blocking_tokens(name_col) -> "F.Column":
     return F.filter(tokenize_col(name_col), lambda t: t != F.lit("dr"))
 
 
+def blocking_df_cap(n_canonicals: int) -> int:
+    """Document-frequency cap for blocking tokens: a token carried by
+    more than max(10, 1%) of the canonical inventory is a hub (brand
+    words, honorifics, 'supplier', …) — blocking on it degenerates to
+    all-pairs. Shared by the distributed, local, and oracle paths."""
+    return max(10, n_canonicals // 100)
+
+
+def _dot64(a, b) -> "F.Column":
+    """Unrolled 64-term dot product — a flat codegen'd expression.
+
+    The generic aggregate/zip_with form is a higher-order function,
+    which Catalyst evaluates interpreted (~50 µs/pair measured); the
+    unrolled left-associated sum is whole-stage-codegen'd and, because
+    the char-n-gram vectors are integer-valued, bit-identical under any
+    association order (every partial sum is an exact integer double).
+    """
+    total = None
+    for i in range(1, EMBED_DIM + 1):
+        term = F.element_at(a, i) * F.element_at(b, i)
+        total = term if total is None else total + term
+    return total
+
+
 def resolve_mentions(
     mentions: DataFrame,
     aliases: DataFrame,
@@ -84,23 +107,44 @@ def resolve_mentions(
         "name", "r_exact", "r_alias"
     )
 
-    # tier 3: embedding cosine, token-blocked
+    # tier 3: embedding cosine, token-blocked with a DF cap (hub tokens
+    # like 'supplier' put the whole inventory in one block — measured
+    # 200k scored pairs for 664 mentions at sf0.1 without the cap)
     unresolved = step2.filter(
         F.col("r_exact").isNull() & F.col("r_alias").isNull()
     ).select("name")
-    cand = canon.select(
-        F.col("canonical"),
-        name_embedding_udf(F.col("canonical")).alias("c_vec"),
-        F.explode(_blocking_tokens(F.col("canonical"))).alias("block"),
+    cap = blocking_df_cap(canon.count())
+    allowed = (
+        canon.select(F.explode(_blocking_tokens(F.col("canonical"))).alias("block"))
+        .groupBy("block")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= cap)
+        .select("block")
+    )
+    # norms precomputed per entity (not per pair); cosine per pair is
+    # then ONE codegen'd unrolled dot — exact because the vectors are
+    # integer-valued (see name_embedding_udf).
+    cand = (
+        canon.select(
+            F.col("canonical"),
+            name_embedding_udf(F.col("canonical")).alias("c_vec"),
+            F.explode(_blocking_tokens(F.col("canonical"))).alias("block"),
+        )
+        .join(F.broadcast(allowed), "block")
+        .withColumn("c_aa", _dot64(F.col("c_vec"), F.col("c_vec")))
     )
     men = unresolved.select(
         "name",
         name_embedding_udf(F.col("name")).alias("m_vec"),
         F.explode(_blocking_tokens(F.col("name"))).alias("block"),
-    )
+    ).withColumn("m_aa", _dot64(F.col("m_vec"), F.col("m_vec")))
     scored = (
         men.join(F.broadcast(cand), "block")
-        .withColumn("cos", cosine_col(F.col("m_vec"), F.col("c_vec")))
+        .withColumn(
+            "cos",
+            _dot64(F.col("m_vec"), F.col("c_vec"))
+            / F.sqrt(F.col("m_aa") * F.col("c_aa")),
+        )
         .filter(F.col("cos") >= threshold)
     )
     w = Window.partitionBy("name").orderBy(F.desc("cos"), F.asc("canonical"))
@@ -201,8 +245,17 @@ def resolve_mentions_local(
         cands = sorted(canonical_set)
         cand_vecs = np.stack([_char_ngram_vector(c) for c in cands]) if cands else None
         cand_aa = (cand_vecs * cand_vecs).sum(axis=1) if cands else None
-        cand_tokens = [
+        cand_tokens_raw = [
             {t for t in _tokenize_py(c) if t != "dr"} for c in cands
+        ]
+        # same DF-capped blocking as the distributed path
+        df: dict[str, int] = {}
+        for toks in cand_tokens_raw:
+            for t in toks:
+                df[t] = df.get(t, 0) + 1
+        cap = blocking_df_cap(len(cands))
+        cand_tokens = [
+            {t for t in toks if df[t] <= cap} for toks in cand_tokens_raw
         ]
         for m in todo:
             blocks = {t for t in _tokenize_py(m) if t != "dr"}

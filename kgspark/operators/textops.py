@@ -132,3 +132,69 @@ def corpus_token_stats(
         F.max("n_tokens").alias("max_tokens"),
         *picks,
     )
+
+
+def corpus_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_tokens: int = 20,
+    min_quality: float = 0.5,
+    neardup_min_est: float = 0.5,
+) -> DataFrame:
+    """The composed training-corpus gate: one row per document with
+    per-stage flags and the final keep verdict.
+
+    Stages (each an existing operator, flags computed independently so
+    the report shows WHY a document dropped — silent drops are
+    undebuggable at 100 TB): language-ID, quality/length heuristics,
+    exact dedup (content-fingerprint keeper), near-dup clustering
+    (MinHash-LSH + CC canonical). ``keep = 1`` iff every gate passes.
+
+    Plan shape: four independent aggregations over the corpus joined on
+    doc_id — uniform-key shuffles, no window over the full table; the
+    near-dup member is the only multi-stage subplan and is itself
+    bucket-joined (dedup.neardup_clusters).
+    """
+    from kgspark.operators.dedup import exact_dedup, neardup_clusters
+
+    qf = quality_features(docs, id_col, text_col).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    li = language_id(docs, id_col, text_col).select("doc_id", "pred_lang")
+    fp = fingerprint(docs, id_col, text_col)
+    keepers = exact_dedup(docs, id_col, text_col).select(
+        "fingerprint", F.col("doc_id").alias("keeper")
+    )
+    ex = fp.join(keepers, "fingerprint").select(
+        "doc_id",
+        F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0).alias("is_exact_dup"),
+    )
+    nd = neardup_clusters(
+        docs, id_col=id_col, text_col=text_col, min_est=neardup_min_est
+    ).select("doc_id", F.col("is_dup").alias("is_near_dup"))
+
+    lang_ok = F.when(F.col("pred_lang") == lang, 1).otherwise(0)
+    quality_ok = F.when(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality_score") >= min_quality),
+        1,
+    ).otherwise(0)
+    out = qf.join(li, "doc_id").join(ex, "doc_id").join(nd, "doc_id")
+    return out.select(
+        "doc_id",
+        "pred_lang",
+        "n_tokens",
+        "quality_score",
+        lang_ok.alias("lang_ok"),
+        quality_ok.alias("quality_ok"),
+        "is_exact_dup",
+        "is_near_dup",
+        (
+            lang_ok.cast("int")
+            * quality_ok.cast("int")
+            * (1 - F.col("is_exact_dup"))
+            * (1 - F.col("is_near_dup"))
+        ).alias("keep"),
+    )

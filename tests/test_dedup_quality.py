@@ -169,3 +169,24 @@ def test_simhash_neardup_matches_bruteforce(spark):
         for r in dedup.simhash_neardup_pairs(docs).collect()
     }
     assert banded == brute
+
+
+def test_corpus_filter_flags_and_verdict(spark):
+    """Planted near-dup pair: canonical kept, dup dropped with the
+    is_near_dup flag set (not some other gate); clean English doc kept."""
+    from kgspark.operators.textops import corpus_filter
+
+    words = ("the and for with over under again " + " ".join(
+        f"w{i}" for i in range(43)
+    )).split()
+    base = " ".join(words)
+    neardup = " ".join("zz" if w == "w20" else w for w in words)
+    docs = spark.createDataFrame(
+        [(1, base), (2, neardup), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in corpus_filter(docs).collect()}
+    assert out[1].keep == 1 and out[1].is_near_dup == 0
+    assert out[2].keep == 0 and out[2].is_near_dup == 1
+    assert out[2].lang_ok == 1  # dropped for dedup, not language
+    assert out[3].keep == 0 and out[3].quality_ok == 0  # too short

@@ -44,3 +44,81 @@ def test_fact_kernel_roundtrip():
 def test_fact_kernel_ignores_noise():
     text = "Random line.\nDr. Foo Bar is a physician focused on nothing much.\n"
     assert extract_fact_rows(text) == []
+
+
+def test_jvm_extractor_matches_arrow_kernel(spark):
+    """The native-Column line extractor must produce EXACTLY the Arrow
+    kernel's fact rows (which test_pipeline pins to the pure-Python
+    golden kernel) — including bio-attach across non-adjacent lines and
+    multi-fact pages."""
+    from kgspark.extract.ner import extract_facts
+
+    corpus = datagen.generate_corpus(n_pages=150, seed=23, facts_range=(1, 9))
+    pages, _, _ = datagen.corpus_to_spark(spark, corpus)
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    jvm = rows(extract_facts(pages, text_impl="jvm"))
+    arrow = rows(extract_facts(pages, text_impl="arrow"))
+    assert jvm == arrow
+    assert jvm  # non-vacuous
+    # bios actually attach in this corpus
+    assert any(r[7] != "" for r in jvm), "fixture must exercise bio-attach"
+
+
+def test_jvm_extractor_edge_lines(spark):
+    """Hand-built page exercising: bio before any fact (dropped), bio
+    with non-matching provider (dropped), two bios for one fact (first
+    wins), bio after an intervening noise line (still attaches), and a
+    unicode-whitespace-padded line (Python strip semantics)."""
+    from datetime import datetime, timezone
+
+    from kgspark.extract.ner import extract_facts
+
+    fact1 = ("Dr. Ann Lee, a cardiology specialist based in Boston, "
+             "treats Bob Stone (age 44, male, flu).")
+    fact2 = ("Dr. Ann Lee, a cardiology specialist based in Boston, "
+             "treats Eva Moss (age 30, female, asthma and colds).")
+    bio_ok = "Dr. Ann Lee is a physician focused on cardiac care."
+    bio_other = "Dr. Max Roe is a physician focused on bones."
+    bio_second = "Dr. Ann Lee is a physician focused on something else."
+    text = "\n".join([
+        bio_other,              # before any fact -> dropped
+        fact1,
+        "Dr. filler noise line that matches contains gate only",
+        bio_ok,                 # attaches to fact1 across the noise line
+        bio_second,             # second bio for fact1 -> ignored
+        "  " + fact2 + "\t",  # unicode-ws padded fact line
+        bio_other,              # provider mismatch -> dropped
+    ])
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    pages = spark.createDataFrame(
+        [("u1", ts, None, text, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    jvm = {tuple(r) for r in extract_facts(pages, text_impl="jvm").collect()}
+    arrow = {tuple(r) for r in extract_facts(pages, text_impl="arrow").collect()}
+    assert jvm == arrow
+    by_patient = {r[4]: r for r in jvm}
+    assert by_patient["Bob Stone"][7] == bio_ok
+    assert by_patient["Eva Moss"][7] == ""
+    assert by_patient["Eva Moss"][10] == "asthma|colds"
+
+
+def test_jvm_text_extractor_byte_identity(spark):
+    """extract_text_col (JVM mirror) must be byte-identical to the pure
+    extract_text spec on every corpus page."""
+    from pyspark.sql import functions as F
+
+    from kgspark.extract.ner import extract_text_col
+
+    corpus = datagen.generate_corpus(n_pages=80, seed=3)
+    rows = [(url, bytes(html)) for url, _, html, _, _ in corpus.pages]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {
+        r.url: r.txt
+        for r in df.select("url", extract_text_col(F.col("html")).alias("txt")).collect()
+    }
+    for url, html in rows:
+        assert got[url] == extract_text(html), url

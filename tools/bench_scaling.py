@@ -37,9 +37,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #    but 2→8 at ~0.97. Legs must sit below that turbo cliff or the
 #    measurement reflects the hypervisor, not the engine. The bench
 #    calibrates and reports this hardware ceiling alongside.
-LEGS = (2, 8)
+LEGS = tuple(
+    int(x) for x in os.environ.get("KGSPARK_SCALING_LEGS", "2,8").split(",")
+)
+# KGSPARK_SCALING_PIN=1: taskset each leg to exactly its core budget —
+# the faithful model of "N executors with dedicated cores" (unpinned
+# local[N] lets Python workers and JVM service threads spill onto idle
+# host cores, inflating the small leg's baseline).
+PIN = os.environ.get("KGSPARK_SCALING_PIN", "0") == "1"
 N_PAGES = 2000
-REPLICATE = 256
+REPLICATE = int(os.environ.get("KGSPARK_SCALING_REPLICATE", "256"))
 FACTS_RANGE = (6, 12)
 FILLER = 8
 
@@ -178,6 +185,8 @@ def main() -> None:
                     cmd = [sys.executable, os.path.abspath(__file__), "--run",
                            str(cpus), src, out, f"scal-{cpus}-{attempt}"]
                     env = dict(os.environ)
+                if PIN and shutil.which("taskset"):
+                    cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
                 r = subprocess.run(
                     cmd, capture_output=True, text=True, check=False, env=env,
                 )
