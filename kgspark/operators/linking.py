@@ -27,6 +27,7 @@ from pyspark.sql.types import ArrayType, DoubleType
 from pyspark.sql.window import Window
 
 from kgspark.operators.fulltext import tokenize_col
+from kgspark.operators.similarity import cosine_col
 
 EMBED_DIM = 64
 
@@ -68,21 +69,6 @@ def blocking_df_cap(n_canonicals: int) -> int:
     return max(10, n_canonicals // 100)
 
 
-def _dot64(a, b) -> "F.Column":
-    """Unrolled 64-term dot product — a flat codegen'd expression.
-
-    The generic aggregate/zip_with form is a higher-order function,
-    which Catalyst evaluates interpreted (~50 µs/pair measured); the
-    unrolled left-associated sum is whole-stage-codegen'd and, because
-    the char-n-gram vectors are integer-valued, bit-identical under any
-    association order (every partial sum is an exact integer double).
-    """
-    total = None
-    for i in range(1, EMBED_DIM + 1):
-        term = F.element_at(a, i) * F.element_at(b, i)
-        total = term if total is None else total + term
-    return total
-
 
 def resolve_mentions(
     mentions: DataFrame,
@@ -121,30 +107,19 @@ def resolve_mentions(
         .filter(F.col("df") <= cap)
         .select("block")
     )
-    # norms precomputed per entity (not per pair); cosine per pair is
-    # then ONE codegen'd unrolled dot — exact because the vectors are
-    # integer-valued (see name_embedding_udf).
-    cand = (
-        canon.select(
-            F.col("canonical"),
-            name_embedding_udf(F.col("canonical")).alias("c_vec"),
-            F.explode(_blocking_tokens(F.col("canonical"))).alias("block"),
-        )
-        .join(F.broadcast(allowed), "block")
-        .withColumn("c_aa", _dot64(F.col("c_vec"), F.col("c_vec")))
-    )
+    cand = canon.select(
+        F.col("canonical"),
+        name_embedding_udf(F.col("canonical")).alias("c_vec"),
+        F.explode(_blocking_tokens(F.col("canonical"))).alias("block"),
+    ).join(F.broadcast(allowed), "block")
     men = unresolved.select(
         "name",
         name_embedding_udf(F.col("name")).alias("m_vec"),
         F.explode(_blocking_tokens(F.col("name"))).alias("block"),
-    ).withColumn("m_aa", _dot64(F.col("m_vec"), F.col("m_vec")))
+    )
     scored = (
         men.join(F.broadcast(cand), "block")
-        .withColumn(
-            "cos",
-            _dot64(F.col("m_vec"), F.col("c_vec"))
-            / F.sqrt(F.col("m_aa") * F.col("c_aa")),
-        )
+        .withColumn("cos", cosine_col(F.col("m_vec"), F.col("c_vec")))
         .filter(F.col("cos") >= threshold)
     )
     w = Window.partitionBy("name").orderBy(F.desc("cos"), F.asc("canonical"))
