@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "neardup_clusters",
     "simhash",
+    "simhash_neardup_pairs",
+    "corpus_token_stats",
+    "corpus_filter",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_neardup_pairs",

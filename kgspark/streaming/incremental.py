@@ -70,3 +70,94 @@ def incremental_extract(
     )
     q.awaitTermination()
     return batches["n"]
+
+
+def streaming_exact_dedup(
+    pages: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stateful cross-batch exact dedup for a streaming page source.
+
+    ``applyInPandasWithState`` keyed by the content fingerprint: the
+    first arrival of each fingerprint passes through, every later
+    arrival (same batch or any later batch — state is checkpointed)
+    is dropped. This is the streaming twin of ``dedup.exact_dedup``:
+    the keep-row choice is arrival order (streaming has no global
+    min-id), which is the semantics an ingest pipeline wants.
+
+    State per key is one boolean — at 10^12 docs the state store holds
+    one entry per DISTINCT content, uniformly hash-partitioned by the
+    fingerprint, and never rescans history.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # content key: pre-extracted text when present, else the raw html
+    # bytes, else the id itself (never a shared null/'' bucket)
+    content = F.coalesce(
+        F.nullif(F.col(text_col), F.lit("")),
+        F.col("html").cast("string"),
+        F.col(id_col),
+    )
+    src = pages.select(
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(content), r"\s+", " ")).cast("binary")
+        ).alias("fingerprint"),
+        F.col(id_col).alias("doc_ref"),
+    )
+
+    def keep_first(key, batches, state: "GroupState"):
+        import pandas as pd
+
+        if state.exists:
+            # fingerprint already seen in an earlier batch: drop all
+            for _ in batches:
+                pass
+            return
+        first = None
+        for pdf in batches:
+            if len(pdf) and first is None:
+                first = pdf.iloc[[0]]
+        state.update((True,))
+        if first is not None:
+            yield pd.DataFrame(
+                {"fingerprint": [key[0]], "doc_ref": [first["doc_ref"].iloc[0]]}
+            )
+
+    return src.groupBy("fingerprint").applyInPandasWithState(
+        keep_first,
+        outputStructType="fingerprint string, doc_ref string",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    webpages_dir: str,
+    out_dir: str,
+) -> int:
+    """Drain available page files through the stateful dedup into a
+    keep-list table; state (and source offsets) live in the checkpoint,
+    so re-invocations dedup against everything already seen."""
+    stream = (
+        spark.readStream.schema(WEBPAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(webpages_dir)
+    )
+    deduped = streaming_exact_dedup(stream)
+    batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{out_dir}/keep")
+        batches["n"] += 1
+
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{out_dir}/_checkpoints/dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return batches["n"]

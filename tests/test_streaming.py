@@ -37,3 +37,31 @@ def test_incremental_extract_resumes(spark, tmp_path):
 
     batch = extract_facts(spark.read.parquet(src))
     assert total == batch.count()
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState exact dedup: duplicates dropped within a
+    drain AND across drains (state survives via the checkpoint)."""
+    from kgspark.streaming.incremental import incremental_dedup
+
+    corpus = datagen.generate_corpus(n_pages=40, seed=33)
+    pages, _, _ = datagen.corpus_to_spark(spark, corpus)
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "dedup")
+
+    # first drain: originals + exact duplicates under different urls
+    dups = pages.limit(10).withColumn("url", F.concat(F.col("url"), F.lit("?dup")))
+    pages.unionByName(dups).write.mode("append").parquet(src)
+    assert incremental_dedup(spark, src, out) >= 1
+    keep1 = spark.read.parquet(f"{out}/keep")
+    n_distinct = keep1.select("fingerprint").distinct().count()
+    assert keep1.count() == n_distinct == 40  # dups collapsed in-batch
+
+    # second drain: re-send 10 more duplicates of already-seen content —
+    # cross-batch state drops ALL of them
+    dups2 = pages.limit(10).withColumn("url", F.concat(F.col("url"), F.lit("?dup2")))
+    dups2.write.mode("append").parquet(src)
+    incremental_dedup(spark, src, out)
+    keep2 = spark.read.parquet(f"{out}/keep")
+    assert keep2.count() == 40
+    assert keep2.select("fingerprint").distinct().count() == 40
