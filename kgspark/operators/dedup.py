@@ -313,10 +313,15 @@ def neardup_clusters(
     """
     from kgspark.operators.cc import connected_components_auto
 
+    # Materialize the signature table once: it feeds both sides of the
+    # band self-join AND both sides of the estimate join (4 consumers);
+    # lazily each would re-run the shingle explode + 16-way min agg. At
+    # warehouse scale this is the persisted signature table every LSH
+    # dedup pipeline keeps anyway.
     sigs = minhash_signatures(
         docs, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, shingle_n=shingle_n,
-    )
+    ).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(
         sigs, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
     )
