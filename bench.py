@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "corpus_filter",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_multiprobe",
     "ann_neardup_pairs",
     "link_mentions",
     "canonicalize_cc",

@@ -997,6 +997,40 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, centroids, k=10)
 
 
+@register(
+    "ann_ivf_multiprobe",
+    f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT a.vec_id, b.centroid_id, {_COS_SQL} AS cos,
+         row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.centroid_id ASC) AS rn
+  FROM embeddings a JOIN c b ON true
+),
+asg AS (SELECT vec_id, centroid_id FROM scored WHERE rn = 1),
+q AS (SELECT a.vec_id AS query_id, s.centroid_id, a.embedding
+      FROM embeddings a JOIN scored s ON s.vec_id = a.vec_id
+      WHERE a.vec_id < 5 AND s.rn <= 3),
+v AS (SELECT a.vec_id AS neighbor_id, asg.centroid_id, a.embedding
+      FROM embeddings a JOIN asg ON asg.vec_id = a.vec_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT a.query_id, b.neighbor_id, round({_COS_SQL}, 6) AS cos,
+         row_number() OVER (PARTITION BY a.query_id ORDER BY {_COS_SQL} DESC, b.neighbor_id ASC) AS rank
+  FROM q a JOIN v b ON a.centroid_id = b.centroid_id AND b.neighbor_id != a.query_id
+) WHERE rank <= 10
+""",
+)
+def ann_ivf_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 probing the 3 nearest centroid buckets — the
+    recall knob for queries near Voronoi boundaries; same global
+    per-query top-k, 3× the candidate set."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, centroids, k=10, nprobe=3)
+
+
 _EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in textops.LANG_STOPWORDS["en"]) + "]"
 
 

@@ -215,6 +215,34 @@ def ivf_assign(
     )
 
 
+def ivf_probe_assign(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """(query_id, centroid_id, q_vec): each query's top-``nprobe``
+    centroid buckets (deterministic tie-break on centroid id) — the
+    standard IVF recall knob (probe more buckets, miss fewer true
+    neighbors near Voronoi boundaries)."""
+    c = centroids.select(
+        F.col(centroid_id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).join(F.broadcast(c)).withColumn(
+        "cos", cosine_col(F.col("q_vec"), F.col("c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "centroid_id", "q_vec")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -222,14 +250,14 @@ def ivf_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """ANN top-k searching only the query's centroid bucket (nprobe=1)."""
+    """ANN top-k searching the query's ``nprobe`` nearest centroid
+    buckets (a neighbor lives in exactly one bucket, so multi-probe
+    needs no dedup — just a wider probe join feeding the same global
+    per-query top-k)."""
     assigned = ivf_assign(vectors, centroids, id_col, vec_col)
-    q_assigned = ivf_assign(queries, centroids, id_col, vec_col).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("centroid_id"),
-        F.col("embedding").alias("q_vec"),
-    )
+    q_assigned = ivf_probe_assign(queries, centroids, nprobe, id_col, vec_col)
     scored = (
         assigned.withColumnRenamed("vec_id", "neighbor_id")
         .join(F.broadcast(q_assigned), "centroid_id")

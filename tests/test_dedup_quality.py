@@ -190,3 +190,30 @@ def test_corpus_filter_flags_and_verdict(spark):
     assert out[2].keep == 0 and out[2].is_near_dup == 1
     assert out[2].lang_ok == 1  # dropped for dedup, not language
     assert out[3].keep == 0 and out[3].quality_ok == 0  # too short
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    """nprobe=3 recall@10 vs exact brute force must be >= nprobe=1
+    recall (more buckets can only add candidates), and the fixture must
+    actually exercise a boundary query where multi-probe recovers
+    neighbors nprobe=1 misses."""
+    import pyspark.sql.functions as F
+
+    from kgspark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = pairs(similarity.cosine_topk(emb, queries, k=10))
+    p1 = pairs(similarity.ivf_topk(emb, queries, centroids, k=10, nprobe=1))
+    p3 = pairs(similarity.ivf_topk(emb, queries, centroids, k=10, nprobe=3))
+    r1 = len(exact & p1) / len(exact)
+    r3 = len(exact & p3) / len(exact)
+    assert r3 >= r1
+    assert r3 > 0.5, (r1, r3)
