@@ -122,3 +122,61 @@ def test_jvm_text_extractor_byte_identity(spark):
     }
     for url, html in rows:
         assert got[url] == extract_text(html), url
+
+
+def test_jvm_extractor_fuzz_parity(spark):
+    """Seeded fuzzer: pages assembled from shuffled fact/bio/noise/
+    padding fragments (including unicode whitespace, multi-valued
+    cells, back-to-back bios, bio-before-fact) must parse identically
+    through the native-Column path and the Arrow kernel twin."""
+    import random
+    from datetime import datetime, timezone
+
+    from kgspark.extract.ner import extract_facts
+
+    rng = random.Random(77)
+    provs = [f"Dr. {a} {b}" for a in ("Ann", "Max", "Eva") for b in ("Lee", "Roe")]
+    pads = ["", " ", "\t", " ", " ", "  \t"]
+
+    def fact(p):
+        specs = " and ".join(rng.sample(["cardiology", "oncology", "geriatrics"],
+                                        rng.randint(1, 2)))
+        locs = " and ".join(rng.sample(["Boston", "New York", "Springfield"],
+                                       rng.randint(1, 2)))
+        pat = rng.choice(["Bob Stone", "Eva Moss", "Jack O'Neil"])
+        conds = " and ".join(rng.sample(["flu", "colds", "asthma"], rng.randint(1, 2)))
+        return (f"{p}, a {specs} specialist based in {locs}, treats {pat} "
+                f"(age {rng.randint(1, 99)}, "
+                f"{rng.choice(['male', 'female'])}, {conds}).")
+
+    def bio(p):
+        return f"{p} is a physician focused on {rng.choice(['hearts', 'bones'])}."
+
+    pages = []
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    for i in range(60):
+        lines = []
+        for _ in range(rng.randint(2, 10)):
+            p = rng.choice(provs)
+            kind = rng.random()
+            if kind < 0.45:
+                lines.append(fact(p))
+            elif kind < 0.8:
+                lines.append(bio(p))
+            else:
+                lines.append(rng.choice([
+                    "Dr. noise line without structure",
+                    "plain filler text",
+                    f"{p}, a broken specialist based in",  # near-miss
+                ]))
+        text = "\n".join(rng.choice(pads) + ln + rng.choice(pads) for ln in lines)
+        pages.append((f"u{i}", ts, None, text, "en"))
+    df = spark.createDataFrame(
+        pages,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    jvm = {tuple(r) for r in extract_facts(df, text_impl="jvm").collect()}
+    arrow = {tuple(r) for r in extract_facts(df, text_impl="arrow").collect()}
+    assert jvm == arrow
+    assert jvm, "fuzz fixture must produce facts"
+    assert any(r[7] != "" for r in jvm), "fixture must attach some bios"
