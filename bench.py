@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "degree_stats",
     "topk_orders",
     "window_latest_event",
+    "windowed_event_counts",
     "connected_components",
     "bfs_khop",
     "minhash_signatures",

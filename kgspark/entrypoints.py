@@ -562,6 +562,45 @@ def window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "windowed_event_counts",
+    """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS win_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 1) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window agg (streaming/incremental.py
+    windowed_counts run in batch mode, where the watermark is a no-op).
+    Hour buckets are epoch-aligned on both engines, so Spark's
+    ``F.window`` start equals DuckDB's ``time_bucket``."""
+    from kgspark.streaming.incremental import windowed_counts
+
+    e = _t(spark, sf_dir, "events")
+    agg = windowed_counts(
+        e,
+        "ts",
+        "event_type",
+        "1 hour",
+        extra_aggs=[
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 1
+            ).alias("sum_value")
+        ],
+    )
+    return agg.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 # --------------------------------------------------------------------------
 # G-group: graph operators
 # --------------------------------------------------------------------------

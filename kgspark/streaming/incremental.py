@@ -19,7 +19,7 @@ new snapshot id triggers their rebuild.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgspark.datagen import WEBPAGE_SCHEMA
@@ -131,6 +131,92 @@ def streaming_exact_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_dur: str = "1 hour",
+    watermark: str = "1 hour",
+    extra_aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Event-time tumbling-window counts per key, watermark-bounded.
+
+    The one brief-required streaming shape the module lacked:
+    ``withWatermark`` + ``F.window`` grouped aggregation. Late rows
+    (event time older than ``max(event time) - watermark``) are
+    dropped before aggregation; in append mode a window is emitted
+    exactly once, when the watermark passes its end — so downstream
+    sinks see each finalized window a single time.
+
+    Works identically on a batch frame (watermark is a no-op there,
+    every window is "final"), which is what lets the DuckDB
+    ``time_bucket`` oracle check the aggregation semantics while the
+    streaming test checks the watermark semantics.
+
+    State at 10^12 docs: one row per (open window × key), hash-
+    partitioned by the group key; the watermark bounds open windows to
+    ``watermark/window_dur + 1`` per key, so state size is O(keys),
+    never O(events).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window_dur).alias("win"),
+            F.col(key_col),
+        )
+        .agg(F.count("*").alias("n_events"), *(extra_aggs or []))
+        .withColumn("win_start", F.col("win.start"))
+        .drop("win")
+    )
+
+
+def url_host_col(url: Column) -> Column:
+    """scheme://HOST/... → host (the north_rule's skew/partition key)."""
+    return F.parse_url(url, F.lit("HOST"))
+
+
+def incremental_host_counts(
+    spark: SparkSession,
+    webpages_dir: str,
+    out_dir: str,
+    window_dur: str = "1 hour",
+    watermark: str = "1 hour",
+) -> int:
+    """Drain available page files into per-(hour, url-host) ingest
+    counts. Append mode: each finalized window lands in the parquet
+    sink exactly once; rows later than the checkpointed watermark are
+    dropped. Returns micro-batches processed this invocation."""
+    stream = (
+        spark.readStream.schema(WEBPAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(webpages_dir)
+    )
+    counts = windowed_counts(
+        stream.select(
+            F.col("warc_ts"), url_host_col(F.col("url")).alias("host")
+        ),
+        "warc_ts",
+        "host",
+        window_dur,
+        watermark,
+    )
+    batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{out_dir}/host_counts")
+        batches["n"] += 1
+
+    q = (
+        counts.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{out_dir}/_checkpoints/host_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return batches["n"]
 
 
 def incremental_dedup(

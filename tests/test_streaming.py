@@ -39,6 +39,64 @@ def test_incremental_extract_resumes(spark, tmp_path):
     assert total == batch.count()
 
 
+def test_windowed_counts_watermark_drops_late(spark, tmp_path):
+    """withWatermark + window agg in append mode: a window is emitted
+    exactly once (when the watermark passes its end), and a row arriving
+    after the watermark has passed its window is dropped."""
+    import datetime as dt
+
+    from kgspark.streaming.incremental import incremental_host_counts
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "win")
+
+    def page(url, hh, mm):
+        return (
+            url,
+            dt.datetime(2024, 3, 1, hh, mm),
+            b"<html></html>",
+            "text",
+            "en",
+        )
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    # Drain 1: three pages for host-a and one for host-b in [10:00,11:00),
+    # plus a 13:00 sentinel that advances the watermark to 12:00 at
+    # batch end. Nothing is emitted yet (watermark was 0 at batch start).
+    batch1 = spark.createDataFrame(
+        [
+            page("https://a.example/p1", 10, 0),
+            page("https://a.example/p2", 10, 20),
+            page("https://a.example/p3", 10, 40),
+            page("https://b.example/p1", 10, 30),
+            page("https://a.example/late-anchor", 13, 0),
+        ],
+        schema=schema,
+    )
+    batch1.write.mode("append").parquet(src)
+    assert incremental_host_counts(spark, src, out) >= 1
+
+    # Drain 2: one LATE row for host-a at 10:30 (behind the 12:00
+    # watermark → dropped) plus a 15:00 row. The [10:00,11:00) windows
+    # finalize this batch — with the late row excluded.
+    batch2 = spark.createDataFrame(
+        [page("https://a.example/too-late", 10, 30), page("https://b.example/p2", 15, 0)],
+        schema=schema,
+    )
+    batch2.write.mode("append").parquet(src)
+    assert incremental_host_counts(spark, src, out) >= 1
+
+    got = {
+        (r["host"], r["win_start"].hour): r["n_events"]
+        for r in spark.read.parquet(f"{out}/host_counts").collect()
+    }
+    assert got[("a.example", 10)] == 3  # late 10:30 row NOT counted
+    assert got[("b.example", 10)] == 1
+    # each finalized window appears exactly once in the append sink
+    rows = spark.read.parquet(f"{out}/host_counts").collect()
+    assert len(rows) == len({(r["host"], r["win_start"]) for r in rows})
+
+
 def test_stateful_dedup_across_batches(spark, tmp_path):
     """applyInPandasWithState exact dedup: duplicates dropped within a
     drain AND across drains (state survives via the checkpoint)."""
