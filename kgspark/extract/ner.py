@@ -103,7 +103,12 @@ def _decode_html_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.Re
     for rb in batches:
         cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
         html_col = cols["html"]
-        texts = [extract_text(html_col[i].as_py()) for i in range(rb.num_rows)]
+        # html is a nullable column: a NULL payload is an empty page,
+        # not a job-killing TypeError
+        texts = [
+            extract_text(h) if (h := html_col[i].as_py()) is not None else ""
+            for i in range(rb.num_rows)
+        ]
         yield pa.RecordBatch.from_pydict(
             {
                 "url": cols["url"],
@@ -122,7 +127,10 @@ def _extract_html_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.R
         tss = cols["warc_ts"].to_pylist()
         html_col = cols["html"]  # stays in the Arrow buffer; decoded per row
         for i in range(rb.num_rows):
-            page_text = extract_text(html_col[i].as_py())
+            payload = html_col[i].as_py()
+            if payload is None:
+                continue
+            page_text = extract_text(payload)
             for row in extract_fact_rows(page_text):
                 out["url"].append(urls[i])
                 out["warc_ts"].append(tss[i])
@@ -166,7 +174,11 @@ def _extract_line_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.R
         out = _out_buf()
         for i in range(rb.num_rows):
             url = urls[i]
-            if pending is not None and pending[0] != url:
+            ts = tss[i]
+            # page identity is (url, warc_ts): a recrawled url is a NEW
+            # page and must not inherit the previous snapshot's pending
+            # fact row
+            if pending is not None and (pending[0], pending[1]) != (url, ts):
                 emit(out, pending)
                 pending = None
             line = lines[i].strip()
@@ -176,7 +188,7 @@ def _extract_line_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.R
                     emit(out, pending)
                 pending = (
                     url,
-                    tss[i],
+                    ts,
                     {
                         "sent_idx": idxs[i],
                         "Provider": m["prov"],
@@ -194,7 +206,7 @@ def _extract_line_batches(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.R
             if (
                 b
                 and pending is not None
-                and pending[0] == url
+                and (pending[0], pending[1]) == (url, ts)
                 and pending[2]["Provider"] == b["prov"]
                 and not pending[2]["Bio"]
             ):
@@ -232,12 +244,16 @@ def _java_patterns() -> tuple[str, str, str]:
     name = rf"Dr\.(?:{ws}[A-Z][\w.'-]*)+"
     # (?U): UNICODE_CHARACTER_CLASS, so Java's \w/\d track CPython's
     # Unicode-aware classes (default Java \w is ASCII-only)
+    # (?d): UNIX_LINES, so Java's `.` excludes ONLY \n like CPython's
+    # (Java default also excludes U+2028/U+2029/U+0085, which survive
+    # mid-line since pages split on \n alone — without it a bio line
+    # containing U+2028 matched in Python but not on the JVM)
     fact = (
-        rf"(?U)^({name}), an? ([A-Za-z ]+?) specialist based in "
+        rf"(?Ud)^({name}), an? ([A-Za-z ]+?) specialist based in "
         r"([A-Za-z ]+?), treats ([A-Z][\w'-]*(?: [A-Z][\w'-]*)*) "
         r"\(age (\d+), ([A-Za-z]+), ([^)]+)\)\.$"
     )
-    bio = rf"(?U)^({name}) is a physician focused on .+\.$"
+    bio = rf"(?Ud)^({name}) is a physician focused on .+\.$"
     and_split = rf"{ws}+and{ws}+"
     return fact, bio, and_split
 
@@ -359,10 +375,10 @@ def _extract_lines_jvm(lines):
             ).alias("prov"),
             F.when(is_bio, F.regexp_extract("line", bio_re, 1)).alias("bio_prov"),
         )
-        .repartition("url")
+        .repartition("url", "warc_ts")
     )
 
-    w = Window.partitionBy("url").orderBy("sent_idx").rowsBetween(
+    w = Window.partitionBy("url", "warc_ts").orderBy("sent_idx").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     after = cand.withColumn(
@@ -397,11 +413,13 @@ def _extract_lines_jvm(lines):
             & (F.col("prev_fact_prov") == F.col("bio_prov"))
         )
         # first matching bio per fact row wins
-        .groupBy("url", F.col("prev_fact_idx").alias("sent_idx"))
+        .groupBy("url", "warc_ts", F.col("prev_fact_idx").alias("sent_idx"))
         .agg(F.min(F.struct(F.col("sent_idx").alias("idx"), F.col("line"))).alias("b"))
-        .select("url", F.col("sent_idx"), F.col("b.line").alias("bio_attached"))
+        .select(
+            "url", "warc_ts", F.col("sent_idx"), F.col("b.line").alias("bio_attached")
+        )
     )
-    out = facts.join(attach, ["url", "sent_idx"], "left").select(
+    out = facts.join(attach, ["url", "warc_ts", "sent_idx"], "left").select(
         "url",
         "warc_ts",
         "sent_idx",

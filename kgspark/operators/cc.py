@@ -124,6 +124,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    sym: DataFrame | None = None,
 ) -> DataFrame:
     """Large-star/small-star CC — O(log n) rounds regardless of diameter.
 
@@ -135,14 +136,21 @@ def connected_components_star(
     component minimum. Output identical to ``connected_components``:
     (id, component = min member id).
     """
-    sym = undirected_closure(edges, src, dst)
+    # accept a pre-symmetrized (and possibly persisted) closure so the
+    # auto-dispatch path doesn't shuffle the edge list a second time
+    if sym is None:
+        sym = undirected_closure(edges, src, dst)
+    # localCheckpoint is EAGER: sym is consumed exactly once, here,
+    # while a caller-persisted closure is still cached. all_nodes reads
+    # the checkpointed copy (symmetric, so column a covers every
+    # endpoint) — not sym — so nothing downstream recomputes the
+    # closure after the caller unpersists it.
+    e = sym.localCheckpoint()
     all_nodes = (
         nodes.select(F.col(node_col).alias("id"))
-        .unionByName(sym.select(F.col("a").alias("id")))
+        .unionByName(e.select(F.col("a").alias("id")))
         .distinct()
     )
-
-    e = sym.localCheckpoint()
     prev_fp = None
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint()
@@ -190,7 +198,9 @@ def connected_components_auto(
     try:
         n_edges = sym.count()
         if n_edges > driver_max_edges:
-            return connected_components_star(nodes, edges, node_col, src, dst)
+            return connected_components_star(
+                nodes, edges, node_col, src, dst, sym=sym
+            )
 
         pairs = [(r.a, r.b) for r in sym.collect()]
         ids = {r[0] for r in nodes.select(F.col(node_col)).collect()}

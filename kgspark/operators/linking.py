@@ -100,8 +100,15 @@ def resolve_mentions(
         F.col("r_exact").isNull() & F.col("r_alias").isNull()
     ).select("name")
     cap = blocking_df_cap(canon.count())
+    # array_distinct: df counts DISTINCT canonicals per token, matching
+    # the local resolver's token sets and the DuckDB oracle's SELECT
+    # DISTINCT — a repeated token inside one canonical must count once
     allowed = (
-        canon.select(F.explode(_blocking_tokens(F.col("canonical"))).alias("block"))
+        canon.select(
+            F.explode(F.array_distinct(_blocking_tokens(F.col("canonical")))).alias(
+                "block"
+            )
+        )
         .groupBy("block")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= cap)
@@ -110,12 +117,14 @@ def resolve_mentions(
     cand = canon.select(
         F.col("canonical"),
         name_embedding_udf(F.col("canonical")).alias("c_vec"),
-        F.explode(_blocking_tokens(F.col("canonical"))).alias("block"),
+        F.explode(F.array_distinct(_blocking_tokens(F.col("canonical")))).alias(
+            "block"
+        ),
     ).join(F.broadcast(allowed), "block")
     men = unresolved.select(
         "name",
         name_embedding_udf(F.col("name")).alias("m_vec"),
-        F.explode(_blocking_tokens(F.col("name"))).alias("block"),
+        F.explode(F.array_distinct(_blocking_tokens(F.col("name")))).alias("block"),
     )
     scored = (
         men.join(F.broadcast(cand), "block")

@@ -157,16 +157,17 @@ def corpus_filter(
     near-dup member is the only multi-stage subplan and is itself
     bucket-joined (dedup.neardup_clusters).
     """
-    from kgspark.operators.dedup import exact_dedup, neardup_clusters
+    from kgspark.operators.dedup import neardup_clusters
 
     qf = quality_features(docs, id_col, text_col).select(
         "doc_id", "n_tokens", "quality_score"
     )
     li = language_id(docs, id_col, text_col).select("doc_id", "pred_lang")
+    # one normalize+md5 pass: the keeper table (exact_dedup's own
+    # min-id-per-fingerprint agg) derives from fp rather than re-hashing
+    # the full corpus a second time
     fp = fingerprint(docs, id_col, text_col)
-    keepers = exact_dedup(docs, id_col, text_col).select(
-        "fingerprint", F.col("doc_id").alias("keeper")
-    )
+    keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper"))
     ex = fp.join(keepers, "fingerprint").select(
         "doc_id",
         F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0).alias("is_exact_dup"),

@@ -28,9 +28,18 @@ def get_spark(
 ) -> SparkSession:
     """Create (or fetch) a SparkSession with the engine's standard conf."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or os.environ.get("KGSPARK_MASTER", f"local[{cpus}]")
+    master = master or os.environ.get("KGSPARK_MASTER")
+    if master is None and "PYSPARK_GATEWAY_PORT" in os.environ:
+        # Launched by spark-submit: the JVM gateway already carries the
+        # --master the user chose; setting builder.master here would
+        # silently override `spark-submit --master yarn` with local[N]
+        pass
+    elif master is None:
+        master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        if master.startswith("local["):
+        if master is None:
+            shuffle_partitions = 200
+        elif master.startswith("local["):
             inner = master[len("local[") : -1]
             shuffle_partitions = 32 if inner == "*" else int(inner)
         else:
@@ -45,7 +54,6 @@ def get_spark(
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -58,6 +66,8 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    if master is not None:
+        builder = builder.master(master)
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():

@@ -99,10 +99,10 @@ def streaming_exact_dedup(
         F.col("html").cast("string"),
         F.col(id_col),
     )
+    from kgspark.operators.dedup import normalize_text_col
+
     src = pages.select(
-        F.md5(
-            F.trim(F.regexp_replace(F.lower(content), r"\s+", " ")).cast("binary")
-        ).alias("fingerprint"),
+        F.md5(normalize_text_col(content).cast("binary")).alias("fingerprint"),
         F.col(id_col).alias("doc_ref"),
     )
 

@@ -106,6 +106,81 @@ def test_jvm_extractor_edge_lines(spark):
     assert by_patient["Eva Moss"][10] == "asthma|colds"
 
 
+def test_recrawled_url_snapshots_stay_independent(spark):
+    """Two snapshots of the SAME url (different warc_ts — a recrawl) are
+    separate pages: snapshot 2's leading bio must not attach to snapshot
+    1's trailing fact, and each snapshot's facts carry its own ts."""
+    from datetime import datetime, timezone
+
+    from kgspark.extract.ner import extract_facts
+
+    fact = ("Dr. Ann Lee, a cardiology specialist based in Boston, "
+            "treats Bob Stone (age 44, male, flu).")
+    bio = "Dr. Ann Lee is a physician focused on cardiac care."
+    # naive datetimes: session tz is UTC and collect() returns naive
+    t1 = datetime(2025, 1, 1)
+    t2 = datetime(2025, 6, 1)
+    # snapshot 1 ends with a fact; snapshot 2 STARTS with a matching bio
+    # — fused pages would attach it across the snapshot boundary
+    pages = spark.createDataFrame(
+        [
+            ("u1", t1, None, fact, "en"),
+            ("u1", t2, None, bio + "\n" + fact, "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    for impl in ("jvm", "arrow"):
+        got = extract_facts(pages.coalesce(1), text_impl=impl).collect()
+        by_ts = {r["warc_ts"]: r for r in got}
+        assert len(got) == 2 and set(by_ts) == {t1, t2}, impl
+        assert by_ts[t1]["Bio"] == "", impl  # no cross-snapshot attach
+        assert by_ts[t2]["Bio"] == "", impl  # bio precedes the fact
+
+
+def test_unicode_line_separator_bio_parity(spark):
+    """U+2028 inside a bio line (pages split on \\n only, so it survives
+    mid-line): Python's `.` matches it, Java's default `.` does not —
+    the (?d) UNIX_LINES flag keeps the JVM path at CPython semantics."""
+    from datetime import datetime, timezone
+
+    from kgspark.extract.ner import extract_facts
+
+    fact = ("Dr. Ann Lee, a cardiology specialist based in Boston, "
+            "treats Bob Stone (age 44, male, flu).")
+    bio = "Dr. Ann Lee is a physician focused on hearts\u2028and minds."
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    pages = spark.createDataFrame(
+        [("u1", ts, None, fact + "\n" + bio, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    jvm = {tuple(r) for r in extract_facts(pages, text_impl="jvm").collect()}
+    arrow = {tuple(r) for r in extract_facts(pages, text_impl="arrow").collect()}
+    assert jvm == arrow
+    assert next(iter(jvm))[7] == bio  # the bio DID attach on both paths
+
+
+def test_null_html_row_is_empty_page(spark):
+    """A NULL html payload (nullable column) must not kill the stage —
+    it is an empty page contributing zero fact rows."""
+    from datetime import datetime, timezone
+
+    from kgspark.extract.ner import extract_facts
+
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    fact = ("Dr. Ann Lee, a cardiology specialist based in Boston, "
+            "treats Bob Stone (age 44, male, flu).")
+    pages = spark.createDataFrame(
+        [
+            ("u-null", ts, None, None, "en"),  # no text, no html
+            ("u-ok", ts, None, fact, "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    for impl in ("jvm", "arrow"):
+        got = extract_facts(pages, text_impl=impl).collect()
+        assert [r["url"] for r in got] == ["u-ok"], impl
+
+
 def test_jvm_text_extractor_byte_identity(spark):
     """extract_text_col (JVM mirror) must be byte-identical to the pure
     extract_text spec on every corpus page."""

@@ -201,9 +201,12 @@ def main() -> None:
                     best = leg
             results[cpus] = best
 
+        if len(LEGS) != 2:
+            raise SystemExit(f"KGSPARK_SCALING_LEGS needs exactly 2 legs, got {LEGS}")
         n, n4 = LEGS
         hw = hardware_ceiling(n, n4)
-        eff = (results[n4]["docs_per_sec"] / results[n]["docs_per_sec"]) / 4.0
+        # ideal speedup is the core ratio, not a hardcoded 4x
+        eff = (results[n4]["docs_per_sec"] / results[n]["docs_per_sec"]) / (n4 / n)
         summary = {
             f"local{n}": results[n],
             f"local{n4}": results[n4],
