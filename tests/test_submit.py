@@ -68,8 +68,7 @@ def test_spark_submit_pipeline_from_zip(tmp_path, spark):
          "--py-files", zip_path,
          os.path.join(REPO, "tools", "submit_job.py"),
          "pipeline", "--src", src, "--out", str(tmp_path / "out"),
-         "--snapshot", "submit-test", "--n-buckets", "8",
-         "--master-hint", "local[4]"],
+         "--snapshot", "submit-test", "--n-buckets", "8"],
         capture_output=True, text=True, env=env, cwd=str(tmp_path),
         timeout=420,
     )
@@ -77,6 +76,8 @@ def test_spark_submit_pipeline_from_zip(tmp_path, spark):
     line = json.loads(r.stdout.strip().splitlines()[-1])
     assert line["docs"] == 60
     assert line["triples"] > 0
+    # no --master-hint given: spark-submit's own --master must win
+    # (get_spark must NOT override it with a local[N] default)
     assert line["master"] == "local[4]"
     # outputs are real tables readable by any session
     triples = spark.read.parquet(str(tmp_path / "out" / "triples"))
