@@ -6,7 +6,7 @@ The production invocation shape (north rule: "run via spark-submit
     python tools/make_pyfiles.py
     spark-submit --master <cluster> --py-files dist/kgspark.zip \
         tools/submit_job.py pipeline --src <dir> --out <dir> \
-        --snapshot <id> [--master-hint local[8]]
+        --snapshot <id>
 
 ``kgspark`` is imported lazily inside main() so the import genuinely
 resolves from the --py-files zip on driver and executors (this file
@@ -47,8 +47,9 @@ def main() -> None:
     p.add_argument(
         "--master-hint",
         default=None,
-        help="master for builder config; give the same value as --master "
-        "(spark-submit's own flag) — recorded in the metrics line",
+        help="optional master override; under spark-submit the --master "
+        "flag is respected automatically, so this is only needed when "
+        "running as plain python (no gateway)",
     )
     q = sub.add_parser("query")
     q.add_argument("name", help="query name from the engine registry")
