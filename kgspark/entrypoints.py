@@ -1172,9 +1172,9 @@ def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH tc AS (SELECT len({tokens_sql('text')}) AS n_tokens FROM documents),
 hist AS (SELECT n_tokens, count(*) AS cnt FROM tc GROUP BY n_tokens),
 cum AS (SELECT n_tokens, sum(cnt) OVER (ORDER BY n_tokens) AS cum FROM hist),
-tot AS (SELECT count(*) AS n_docs, sum(n_tokens) AS total_tokens FROM tc)
+tot AS (SELECT count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens FROM tc)
 SELECT t.n_docs, t.total_tokens,
-       t.total_tokens / t.n_docs AS avg_tokens,
+       round(t.total_tokens / t.n_docs, 6) AS avg_tokens,
        min(c.n_tokens) AS min_tokens,
        max(c.n_tokens) AS max_tokens,
        min(CASE WHEN c.cum >= floor(0.5 * (t.n_docs - 1)) + 1 THEN c.n_tokens END) AS p50_tokens,

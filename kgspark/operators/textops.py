@@ -127,7 +127,7 @@ def corpus_token_stats(
     return joined.agg(
         F.max("n_docs").alias("n_docs"),
         F.max("total_tokens").alias("total_tokens"),
-        (F.max("total_tokens") / F.max("n_docs")).alias("avg_tokens"),
+        F.round(F.max("total_tokens") / F.max("n_docs"), 6).alias("avg_tokens"),
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
         *picks,

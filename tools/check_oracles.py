@@ -16,6 +16,7 @@ import sys
 import time
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -34,6 +35,11 @@ def canon(v) -> str:
         return repr(round(v, 9))
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
+    if hasattr(v, "tolist") and not hasattr(v, "upper"):  # numpy array/scalar
+        out = v.tolist()
+        if isinstance(out, (list, tuple)):
+            return "[" + ",".join(canon(x) for x in out) + "]"
+        return canon(out)
     return str(v)
 
 
@@ -79,9 +85,17 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            # fetchdf(), not fetchall(): the driver compares through
+            # pandas, where DuckDB HUGEINT/DECIMAL become float64 —
+            # fetchall() keeps Python ints and hides that class of
+            # canonicalization mismatch (bit us in round 2 on
+            # corpus_token_stats).
+            ddf = con.execute(oracles[name]).fetchdf()
+            d_cols = list(ddf.columns)
+            d_rows = [
+                tuple(None if v is pd.NaT else v for v in r)
+                for r in ddf.itertuples(index=False, name=None)
+            ]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
