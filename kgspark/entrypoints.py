@@ -180,19 +180,6 @@ def split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "required_filter",
-    "SELECT o_orderkey, o_custkey FROM orders"
-    " WHERE trim(o_orderpriority) != '' AND o_orderstatus = 'O'",
-)
-def required_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B3 required-field row gate."""
-    orders = _t(spark, sf_dir, "orders")
-    return orders.filter(
-        (F.trim(F.col("o_orderpriority")) != "") & (F.col("o_orderstatus") == "O")
-    ).select("o_orderkey", "o_custkey")
-
-
-@register(
     "int_cast_fallback",
     """
 SELECT p_partkey,
@@ -215,25 +202,42 @@ def int_cast_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "lower_filter",
-    "SELECT c_custkey, c_name FROM customer WHERE lower(c_mktsegment) = 'machinery'",
+    "scalar_filters",
+    """
+SELECT 'required' AS filter_kind, o_orderkey AS key, o_custkey::VARCHAR AS val
+FROM orders WHERE trim(o_orderpriority) != '' AND o_orderstatus = 'O'
+UNION ALL
+SELECT 'lower', c_custkey, c_name
+FROM customer WHERE lower(c_mktsegment) = 'machinery'
+UNION ALL
+SELECT 'range', c_custkey, printf('%.2f', c_acctbal)
+FROM customer WHERE c_acctbal >= 9000
+""",
 )
-def lower_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B7 lowercase compare."""
+def scalar_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3/B7/B8 scalar row gates in one tagged union: required-field
+    (Provider∧Patient-style non-empty gate), lowercase compare, and
+    numeric range — each arm filter-pushed to its parquet scan."""
+    o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    return c.filter(F.lower(F.col("c_mktsegment")) == "machinery").select(
-        "c_custkey", "c_name"
+    required = o.filter(
+        (F.trim(F.col("o_orderpriority")) != "") & (F.col("o_orderstatus") == "O")
+    ).select(
+        F.lit("required").alias("filter_kind"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_custkey").cast("string").alias("val"),
     )
-
-
-@register(
-    "range_filter",
-    "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal >= 9000",
-)
-def range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B8 numeric range filter."""
-    c = _t(spark, sf_dir, "customer")
-    return c.filter(F.col("c_acctbal") >= 9000).select("c_custkey", "c_acctbal")
+    lower = c.filter(F.lower(F.col("c_mktsegment")) == "machinery").select(
+        F.lit("lower").alias("filter_kind"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("val"),
+    )
+    rng = c.filter(F.col("c_acctbal") >= 9000).select(
+        F.lit("range").alias("filter_kind"),
+        F.col("c_custkey").alias("key"),
+        F.format_string("%.2f", F.col("c_acctbal")).alias("val"),
+    )
+    return required.unionByName(lower).unionByName(rng)
 
 
 @register(
@@ -278,26 +282,6 @@ def first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(F.min(F.struct("o_orderdate", "o_orderkey", "o_orderpriority")).alias("w"))
         .select("o_custkey", F.col("w.o_orderpriority").alias("first_priority"))
-    )
-
-
-@register(
-    "last_wins",
-    """
-SELECT user_id, value AS last_value FROM (
-  SELECT user_id, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
-) WHERE rn = 1
-""",
-)
-def last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3 last-wins (MERGE ... SET overwrite) via max(struct)."""
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy("user_id")
-        .agg(F.max(F.struct("ts", "event_id", "value")).alias("w"))
-        .select("user_id", F.col("w.value").alias("last_value"))
     )
 
 
@@ -351,77 +335,31 @@ def _nation_anchor(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
 
 @register(
     "traverse_1hop",
-    f"SELECT c_custkey, c_name FROM customer WHERE c_nationkey = ({_NATION7_ANCHOR_SQL})",
+    f"""
+SELECT 'out' AS direction, c_name AS val FROM customer
+WHERE c_nationkey = ({_NATION7_ANCHOR_SQL})
+UNION ALL
+SELECT DISTINCT 'in', c_mktsegment FROM customer
+WHERE c_nationkey = ({_NATION7_ANCHOR_SQL})
+""",
 )
 def traverse_1hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1: full-text anchor top-1 → 1-hop traversal (broadcast join)."""
+    """D1/D2: full-text anchor top-1 → forward 1-hop traversal
+    (broadcast join, 'out' rows) plus the reverse traversal with a
+    DISTINCT projection ('in' rows). One tagged union; the anchor is
+    resolved once and broadcast to both arms."""
     anchor = _nation_anchor(spark, sf_dir, "NATION 7")
     c = _t(spark, sf_dir, "customer")
-    return c.join(
-        F.broadcast(anchor), c.c_nationkey == anchor.anchor_key
-    ).select("c_custkey", "c_name")
-
-
-@register(
-    "reverse_distinct",
-    "SELECT DISTINCT c_mktsegment AS segment FROM customer"
-    f" WHERE c_nationkey = ({_NATION7_ANCHOR_SQL})",
-)
-def reverse_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2: reverse traversal + DISTINCT projection."""
-    anchor = _nation_anchor(spark, sf_dir, "NATION 7")
-    c = _t(spark, sf_dir, "customer")
-    return (
-        c.join(F.broadcast(anchor), c.c_nationkey == anchor.anchor_key)
-        .select(F.col("c_mktsegment").alias("segment"))
+    hop = c.join(F.broadcast(anchor), c.c_nationkey == anchor.anchor_key)
+    fwd = hop.select(
+        F.lit("out").alias("direction"), F.col("c_name").alias("val")
+    )
+    rev = (
+        hop.select(F.col("c_mktsegment").alias("val"))
         .distinct()
+        .select(F.lit("in").alias("direction"), "val")
     )
-
-
-@register(
-    "multihop_topk",
-    """
-SELECT c_name, o_orderkey, o_totalprice
-FROM region JOIN nation ON n_regionkey = r_regionkey
-  JOIN customer ON c_nationkey = n_nationkey
-  JOIN orders ON o_custkey = c_custkey
-WHERE r_name = 'EUROPE' AND o_orderstatus = 'O'
-ORDER BY c_name ASC, o_orderkey ASC LIMIT 25
-""",
-)
-def multihop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3/F2: multi-hop conjunctive join, two-key sort, LIMIT."""
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    n = _t(spark, sf_dir, "nation")
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .select("c_name", "o_orderkey", "o_totalprice")
-        .orderBy(F.asc("c_name"), F.asc("o_orderkey"))
-        .limit(25)
-    )
-
-
-@register(
-    "star_join",
-    f"""
-WITH t AS ({_geo_triples_sql()})
-SELECT t1.subj AS nation_uri, t2.obj AS nation_name
-FROM t t1 JOIN t t2 ON t1.subj = t2.subj
-WHERE t1.pred = '{P_PART_OF}' AND t1.obj = '{BASE}EUROPE' AND t2.pred = '{P_NAME_R}'
-""",
-)
-def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D4: same-subject star pattern as a triple-table self-join."""
-    t = build_geo_triples(spark, sf_dir)
-    t1 = t.filter((F.col("pred") == P_PART_OF) & (F.col("obj") == BASE + "EUROPE"))
-    t2 = t.filter(F.col("pred") == P_NAME_R)
-    return t1.alias("a").join(t2.alias("b"), F.col("a.subj") == F.col("b.subj")).select(
-        F.col("a.subj").alias("nation_uri"), F.col("b.obj").alias("nation_name")
-    )
+    return fwd.unionByName(rev)
 
 
 @register(
@@ -497,51 +435,6 @@ def count_distinct_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "degree_stats",
-    """
-WITH pairs AS (SELECT DISTINCT 's' || l_suppkey::VARCHAR AS a, 'p' || l_partkey::VARCHAR AS b FROM lineitem),
-deg AS (
-  SELECT node, count(*) AS degree FROM (
-    SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs
-  ) GROUP BY node
-)
-SELECT round(avg(degree), 6) AS avg_degree, max(degree) AS max_degree, count(*) AS node_count FROM deg
-""",
-)
-def degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4: avg/max total degree over a bipartite edge list."""
-    li = _t(spark, sf_dir, "lineitem")
-    edges = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
-    ).distinct()
-    ends = edges.select(F.col("src").alias("node")).unionByName(
-        edges.select(F.col("dst").alias("node"))
-    )
-    deg = ends.groupBy("node").agg(F.count("*").alias("degree"))
-    return deg.agg(
-        F.round(F.avg("degree"), 6).alias("avg_degree"),
-        F.max("degree").alias("max_degree"),
-        F.count("*").alias("node_count"),
-    )
-
-
-@register(
-    "topk_orders",
-    "SELECT o_orderkey, o_totalprice FROM orders"
-    " ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25",
-)
-def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2: top-k with two-key deterministic sort (TakeOrderedAndProject)."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.select("o_orderkey", "o_totalprice")
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(25)
-    )
-
-
-@register(
     "window_latest_event",
     """
 SELECT user_id, event_id, event_type, value FROM (
@@ -552,13 +445,26 @@ SELECT user_id, event_id, event_type, value FROM (
 """,
 )
 def window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1-analog: per-key top-1 by window ranking."""
+    """C3/F1: per-key last-wins (latest event per user).
+
+    Subsumes the former ``last_wins`` entry (same semantics, fewer
+    columns). Implemented as one ``max(struct(...))`` aggregate rather
+    than a row_number window: identical result because ``event_id`` is
+    unique within a key, but the aggregate gets a map-side partial
+    combine and never sorts whole partitions — the shape that survives
+    a 100× scale-up. The oracle keeps the window formulation as an
+    independent derivation.
+    """
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", "value")
+        e.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("w"))
+        .select(
+            "user_id",
+            F.col("w.event_id").alias("event_id"),
+            F.col("w.event_type").alias("event_type"),
+            F.col("w.value").alias("value"),
+        )
     )
 
 
@@ -607,33 +513,24 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "connected_components",
-    CC_REACH_SQL + "SELECT id, min(lbl) AS component FROM reach GROUP BY id",
-)
-def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G2 ◆: iterative hash-min CC on the supplier-nation-region forest."""
-    edges = geo_edges(spark, sf_dir)
-    nodes = edges.select(F.col("src").alias("id"))
-    return connected_components(nodes, edges, "id")
-
-
-@register(
-    "component_stats",
     CC_REACH_SQL
     + """,
 assign AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
-sizes AS (SELECT component, count(*) AS sz FROM assign GROUP BY component)
-SELECT count(*) AS component_count, max(sz) AS largest_component_size FROM sizes
+sizes AS (SELECT component, count(*) AS component_size FROM assign GROUP BY component)
+SELECT id, component, component_size FROM assign JOIN sizes USING (component)
 """,
 )
-def component_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E6/G4: component count + largest component size."""
+def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/G4/E6 ◆: iterative hash-min CC on the supplier-nation-region
+    forest, with per-component sizes attached (subsumes the former
+    ``component_stats`` entry — component count and largest-component
+    size are direct aggregates of this surface; the size join shuffles
+    on the already-partitioned component key)."""
     edges = geo_edges(spark, sf_dir)
-    assign = connected_components(edges.select(F.col("src").alias("id")), edges, "id")
-    sizes = assign.groupBy("component").agg(F.count("*").alias("sz"))
-    return sizes.agg(
-        F.count("*").alias("component_count"),
-        F.max("sz").alias("largest_component_size"),
-    )
+    nodes = edges.select(F.col("src").alias("id"))
+    assign = connected_components(nodes, edges, "id")
+    sizes = assign.groupBy("component").agg(F.count("*").alias("component_size"))
+    return assign.join(sizes, "component").select("id", "component", "component_size")
 
 
 @register(
@@ -642,19 +539,44 @@ def component_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH RECURSIVE
   e AS ({GEO_EDGES_SQL}),
   ud AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
-  walk(node, depth) AS (
+  walk_u(node, depth) AS (
     SELECT 'r0', 0
     UNION
-    SELECT ud.b, walk.depth + 1 FROM walk JOIN ud ON ud.a = walk.node WHERE walk.depth < 2
+    SELECT ud.b, walk_u.depth + 1 FROM walk_u JOIN ud ON ud.a = walk_u.node
+    WHERE walk_u.depth < 2
+  ),
+  walk_d(node, depth) AS (
+    SELECT 's1', 0
+    UNION
+    SELECT e.dst, walk_d.depth + 1 FROM walk_d JOIN e ON e.src = walk_d.node
+    WHERE walk_d.depth < 2
   )
-SELECT node, depth FROM (SELECT node, min(depth) AS depth FROM walk GROUP BY node)
-ORDER BY depth, node LIMIT 50
+SELECT * FROM (
+  SELECT 'undirected' AS mode, node, depth
+  FROM (SELECT node, min(depth) AS depth FROM walk_u GROUP BY node)
+  ORDER BY depth, node LIMIT 50
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'directed', node, depth
+  FROM (SELECT node, min(depth) AS depth FROM walk_d GROUP BY node)
+  ORDER BY depth, node LIMIT 50
+)
 """,
 )
 def bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G5 ◆: k-hop BFS subgraph, deterministic (depth, node) cap."""
+    """G5 ◆: k-hop BFS subgraph, deterministic (depth, node) cap —
+    the undirected 2-hop frontier from region r0 plus the directed
+    variant from supplier s1 (formerly the separate
+    ``bfs_khop_directed`` entry), tagged by ``mode``."""
     edges = geo_edges(spark, sf_dir)
-    return k_hop_nodes(edges, "r0", max_depth=2, max_nodes=50, directed=False)
+    und = k_hop_nodes(edges, "r0", max_depth=2, max_nodes=50, directed=False).select(
+        F.lit("undirected").alias("mode"), "node", "depth"
+    )
+    dir_ = k_hop_nodes(edges, "s1", max_depth=2, max_nodes=50, directed=True).select(
+        F.lit("directed").alias("mode"), "node", "depth"
+    )
+    return und.unionByName(dir_)
 
 
 @register(
@@ -686,27 +608,57 @@ def graph_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "graph_stats_basic",
+    "graph_stats",
     """
 WITH e AS (""" + GEO_EDGES_SQL + """),
 pairs AS (SELECT DISTINCT src, dst FROM e),
-nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+bip AS (SELECT DISTINCT 's' || l_suppkey::VARCHAR AS a, 'p' || l_partkey::VARCHAR AS b FROM lineitem),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM bip UNION ALL SELECT b FROM bip
+  ) GROUP BY node
+)
 SELECT (SELECT count(*) FROM nodes) AS node_count,
        (SELECT count(*) FROM pairs) AS edge_count,
-       (SELECT count(DISTINCT rel) FROM e) AS relation_type_count
+       (SELECT count(DISTINCT rel) FROM e) AS relation_type_count,
+       (SELECT round(avg(degree), 6) FROM deg) AS avg_degree,
+       (SELECT max(degree) FROM deg) AS max_degree,
+       (SELECT count(*) FROM deg) AS degree_node_count
 """,
 )
-def graph_stats_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2/E3: node/edge counts + distinct relation types, one row."""
+def graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3/E4: one-row graph stats report — node/edge counts and
+    distinct relation types over the geo edges, plus avg/max total
+    degree over the supplier→part bipartite edge list (subsumes the
+    former ``graph_stats_basic`` and ``degree_stats`` entries; every
+    scalar is an independent partial aggregate, combined by cross-join
+    of broadcast 1-row frames)."""
     e = geo_edges(spark, sf_dir)
     nodes = e.select(F.col("src").alias("id")).unionByName(
         e.select(F.col("dst").alias("id"))
     ).distinct()
     pairs = e.select("src", "dst").distinct()
+    li = _t(spark, sf_dir, "lineitem")
+    bip = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    ends = bip.select(F.col("src").alias("node")).unionByName(
+        bip.select(F.col("dst").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count("*").alias("degree"))
     return (
         nodes.agg(F.count("*").alias("node_count"))
         .crossJoin(pairs.agg(F.count("*").alias("edge_count")))
         .crossJoin(e.agg(F.countDistinct("rel").alias("relation_type_count")))
+        .crossJoin(
+            deg.agg(
+                F.round(F.avg("degree"), 6).alias("avg_degree"),
+                F.max("degree").alias("max_degree"),
+                F.count("*").alias("degree_node_count"),
+            )
+        )
     )
 
 
@@ -753,17 +705,6 @@ sigs AS (
   FROM sh GROUP BY doc_id
 )
 """
-
-
-@register(
-    "minhash_signatures",
-    _MINHASH_SQL_BASE + "SELECT * FROM sigs",
-)
-def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (16 md5-family hashes over 3-gram shingles)."""
-    return dedup.minhash_signatures(
-        _t(spark, sf_dir, "documents"), num_hashes=_MINHASH_K, shingle_n=_SHINGLE_N
-    )
 
 
 def _lsh_bands_sql() -> str:
@@ -881,53 +822,62 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_sql(bits: int = 32) -> str:
-    from kgspark.functions.hashing import h32_sql
+_SIMHASH_WORDS = 2  # 64-bit signature as two 32-bit words (dedup.simhash)
 
-    sums = ", ".join(
-        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
-        for i in range(bits)
+
+def _simhash_ctes(words: int = _SIMHASH_WORDS) -> str:
+    """CTE block ending in ``sim(doc_id, simhash_w0, ...)`` — the
+    DuckDB mirror of operators/dedup.simhash (word w = md5 hex chars
+    [8w+1, 8w+8], 32 algebraic ±1 sums per word)."""
+    ths = ", ".join(
+        f"('0x' || substr(h, {1 + 8 * w}, 8))::BIGINT AS th_{w}"
+        for w in range(words)
     )
-    recompose = " + ".join(
-        f"(CASE WHEN s_{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
-        for i in range(bits)
+    sums = ", ".join(
+        f"sum(CASE WHEN (th_{w} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{w}_{i}"
+        for w in range(words)
+        for i in range(32)
+    )
+    recompose = ", ".join(
+        " + ".join(
+            f"(CASE WHEN s_{w}_{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+            for i in range(32)
+        )
+        + f" AS simhash_w{w}"
+        for w in range(words)
     )
     return f"""
-WITH tok AS (
-  SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents
+tok AS (
+  SELECT doc_id, md5(unnest({tokens_sql('text')})) AS h FROM documents
 ),
-th AS (SELECT doc_id, {h32_sql('token')} AS th FROM tok),
-sums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
-SELECT doc_id, {recompose} AS simhash FROM sums
-"""
+th AS (SELECT doc_id, {ths} FROM tok),
+sums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+sim AS (SELECT doc_id, {recompose} FROM sums)"""
 
 
-@register("simhash", _simhash_sql())
-def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash content signatures."""
-    return dedup.simhash(_t(spark, sf_dir, "documents"))
-
-
-def _simhash_neardup_sql(max_hamming: int = 3, n_bands: int = 4) -> str:
+def _simhash_neardup_sql(max_hamming: int = 3, words: int = _SIMHASH_WORDS) -> str:
+    wlist = ", ".join(f"simhash_w{w}" for w in range(words))
     bands = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band,"
-        f" (simhash >> {8 * b}) & 255 AS byte FROM sim"
-        for b in range(n_bands)
+        f"SELECT doc_id, {wlist}, {4 * w + b} AS band,"
+        f" (simhash_w{w} >> {8 * b}) & 255 AS byte FROM sim"
+        for w in range(words)
+        for b in range(4)
     )
-    return (
-        _simhash_sql().replace("\nSELECT doc_id,", ", sim AS (\nSELECT doc_id,", 1)
-        + f"""),
+    pair_words = ", ".join(
+        f"l.simhash_w{w} AS a_w{w}, r.simhash_w{w} AS b_w{w}" for w in range(words)
+    )
+    ham = " + ".join(f"bit_count(xor(a_w{w}, b_w{w}))" for w in range(words))
+    return f"""
+WITH {_simhash_ctes(words)},
 banded AS ({bands}),
 cand AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-         l.simhash AS sim_a, r.simhash AS sim_b
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, {pair_words}
   FROM banded l JOIN banded r
     ON l.band = r.band AND l.byte = r.byte AND l.doc_id < r.doc_id
 )
-SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
-FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+SELECT doc_a, doc_b, {ham} AS hamming
+FROM cand WHERE {ham} <= {max_hamming}
 """
-    )
 
 
 @register("simhash_neardup_pairs", _simhash_neardup_sql())
@@ -1003,37 +953,6 @@ def ann_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_neardup_pairs_lsh(
         _t(spark, sf_dir, "embeddings"), threshold=0.35, dim=64
     )
-
-
-@register(
-    "ann_ivf_topk",
-    f"""
-WITH c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
-scored AS (
-  SELECT a.vec_id, b.centroid_id, {_COS_SQL.replace('b.embedding', 'b.embedding')} AS cos,
-         row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.centroid_id ASC) AS rn
-  FROM embeddings a JOIN c b ON true
-),
-asg AS (SELECT vec_id, centroid_id FROM scored WHERE rn = 1),
-q AS (SELECT a.vec_id AS query_id, asg.centroid_id, a.embedding
-      FROM embeddings a JOIN asg ON asg.vec_id = a.vec_id WHERE a.vec_id < 5),
-v AS (SELECT a.vec_id AS neighbor_id, asg.centroid_id, a.embedding
-      FROM embeddings a JOIN asg ON asg.vec_id = a.vec_id)
-SELECT query_id, neighbor_id, cos, rank FROM (
-  SELECT a.query_id, b.neighbor_id, round({_COS_SQL}, 6) AS cos,
-         row_number() OVER (PARTITION BY a.query_id ORDER BY {_COS_SQL} DESC, b.neighbor_id ASC) AS rank
-  FROM q a JOIN v b ON a.centroid_id = b.centroid_id AND b.neighbor_id != a.query_id
-) WHERE rank <= 10
-""",
-)
-def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN top-10 (nprobe=1, centroids = vec_id % 100 == 0)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
-    queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(emb, queries, centroids, k=10)
 
 
 @register(
@@ -1145,24 +1064,36 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "token_count",
+    "token_counts",
     f"""
+WITH t AS (SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents)
 SELECT doc_id,
-       len({tokens_sql('text')}) AS n_tokens,
-       len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS n_ws_tokens
-FROM documents
+       len(toks) AS n_tokens,
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS n_ws_tokens,
+       list_sum(list_transform(toks, x -> (length(x) + 3) // 4))::BIGINT AS n_subwords_est
+FROM t
 """,
 )
-def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: regex tokens + whitespace tokens."""
-    docs = _t(spark, sf_dir, "documents")
+def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, all three estimators in one pass over the text:
+    regex tokens, whitespace tokens, and the BPE-ish subword estimate
+    (ceil(len/4) units per token — the usual ~4-chars-per-token
+    heuristic). Subsumes the former ``token_count`` and
+    ``token_count_bpe`` entries."""
     from kgspark.operators.fulltext import tokenize_col
 
+    docs = _t(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    toks = tokenize_col(F.col("text"))
     return docs.select(
         "doc_id",
-        F.size(tokenize_col(F.col("text"))).alias("n_tokens"),
+        F.size(toks).alias("n_tokens"),
         F.size(ws).alias("n_ws_tokens"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.floor((F.length(x) + 3) / 4).cast("long"),
+        ).alias("n_subwords_est"),
     )
 
 
@@ -1256,41 +1187,33 @@ def gazetteer_mentions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @register(
-    "doc_summary",
+    "doc_enrich",
     """
-SELECT doc_id,
+SELECT doc_id AS original_id,
+       doc_id::VARCHAR || '_' || source AS id,
+       source AS source_document,
        coalesce(nullif(trim(regexp_extract(trunc, '^((?:[^.!?]*[.!?]+\\s*){1,2})', 1)), ''), trunc) AS summary
 FROM (
-  SELECT doc_id,
+  SELECT doc_id, source,
          CASE WHEN length(text) > 1500 THEN substr(text, 1, 1500) || '...' ELSE text END AS trunc
   FROM documents
 )
 """,
 )
-def doc_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H3/B10: truncation + extractive two-sentence summary per doc."""
+def doc_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9/B10/H2/H3: metadata + summary enhancement in one projection —
+    provenance id suffixing plus the 1500-char truncation and
+    extractive two-sentence summary (subsumes the former
+    ``id_suffixing`` and ``doc_summary`` entries; all pure column
+    expressions, no join, no shuffle)."""
     from kgspark.extract.enrich import extractive_summary_col
 
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", extractive_summary_col(F.col("text")).alias("summary"))
-
-
-@register(
-    "id_suffixing",
-    """
-SELECT doc_id AS original_id,
-       doc_id::VARCHAR || '_' || source AS id,
-       source AS source_document
-FROM documents
-""",
-)
-def id_suffixing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B9/H2: provenance id suffixing (pure expression, no join)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         F.col("doc_id").alias("original_id"),
         F.concat_ws("_", F.col("doc_id"), F.col("source")).alias("id"),
         F.col("source").alias("source_document"),
+        extractive_summary_col(F.col("text")).alias("summary"),
     )
 
 
@@ -1340,35 +1263,6 @@ def skew_safe_collect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sets.select(
         "o_custkey", F.concat_ws("|", "priorities").alias("priorities")
-    )
-
-
-@register(
-    "token_count_bpe",
-    f"""
-WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
-SELECT doc_id,
-       len(toks) AS n_tokens,
-       list_sum(list_transform(toks, x -> (length(x) + 3) // 4))::BIGINT AS n_subwords_est
-FROM t
-""",
-)
-def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish subword estimate: ceil(len/4) units per token (the usual
-    ~4-chars-per-token heuristic), plus the exact regex token count."""
-    from kgspark.operators.fulltext import tokenize_col
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = tokenize_col(F.col("text"))
-    docs = docs.select("doc_id", toks.alias("toks"))
-    return docs.select(
-        "doc_id",
-        F.size("toks").alias("n_tokens"),
-        F.aggregate(
-            "toks",
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + F.floor((F.length(x) + 3) / 4).cast("long"),
-        ).alias("n_subwords_est"),
     )
 
 
@@ -1538,8 +1432,13 @@ def _ontology_values_sql() -> str:
         f"({q(s)}, {q(p)}, {q(o)}, {q(k)}, {q(dt)}, {q(lg)})"
         for (s, p, o, k, dt, lg) in rows
     )
+    # Explicit VARCHAR casts: obj_dtype is NULL on every ontology row,
+    # and an all-NULL VALUES column reaches pandas as float64 NaN
+    # (≠ None) under the driver's fetchdf path.
     return (
-        "SELECT * FROM (VALUES\n" + vals +
+        "SELECT subj, pred, obj, obj_kind,"
+        " CAST(obj_dtype AS VARCHAR) AS obj_dtype,"
+        " CAST(obj_lang AS VARCHAR) AS obj_lang FROM (VALUES\n" + vals +
         "\n) AS t(subj, pred, obj, obj_kind, obj_dtype, obj_lang)"
     )
 
@@ -2064,25 +1963,123 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bfs_khop_directed",
-    f"""
-WITH RECURSIVE
-  e AS ({GEO_EDGES_SQL}),
-  walk(node, depth) AS (
-    SELECT 's1', 0
-    UNION
-    SELECT e.dst, walk.depth + 1 FROM walk JOIN e ON e.src = walk.node
-    WHERE walk.depth < 2
-  )
-SELECT node, depth FROM (SELECT node, min(depth) AS depth FROM walk GROUP BY node)
-ORDER BY depth, node LIMIT 50
-""",
-)
-def bfs_khop_directed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed 2-hop BFS from a supplier node (iterative frontier op;
-    recursive-CTE oracle without the undirected symmetrization)."""
-    from kgspark.operators.bfs import k_hop_nodes
 
-    edges = geo_edges(spark, sf_dir)
-    return k_hop_nodes(edges, "s1", max_depth=2, max_nodes=50, directed=True)
+
+# --------------------------------------------------------------------------
+# NL→shape router (I2-lite) — the LLM-free counterpart of the reference's
+# generate_cypher (cypher_generator.py:179-204); see operators/nl_router.py
+# --------------------------------------------------------------------------
+
+def _nl_route_sql() -> str:
+    from kgspark.operators import nl_router
+
+    vals = ",\n  ".join(
+        "(" + q.replace("'", "''").join(["'", "'"]) + ")"
+        for q in nl_router.CANONICAL_QUESTIONS
+    )
+    return f"""
+SELECT question, {nl_router.oracle_case_sql('question')}
+FROM (VALUES
+  {vals}
+) AS t(question)
+"""
+
+
+@register("nl_route", _nl_route_sql())
+def nl_route_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2-lite: deterministic NL-question → query-shape routing over the
+    reference's five canonical few-shot questions
+    (cypher_generator.py:23-98). Pure column expressions (rlike +
+    regexp_extract), so the same router scales to a table of millions
+    of questions with zero Python in the loop."""
+    from kgspark.operators import nl_router
+
+    qdf = spark.createDataFrame(
+        [(q,) for q in nl_router.CANONICAL_QUESTIONS], ["question"]
+    )
+    return nl_router.route_questions(qdf)
+
+
+# --------------------------------------------------------------------------
+# Registry finalization: the driver's correctness gate evaluates queries
+# in registration order with a bounded window, so the order below is the
+# contract — reference-fidelity KG queries and the LLM-data-pipeline ops
+# first, relational micro-ops last. The list must match the registered
+# set exactly (asserted) so a stale entry can never silently drop a
+# query out of evaluation.
+# --------------------------------------------------------------------------
+
+_REGISTRY_ORDER = [
+    # reference-fidelity KG surface
+    "kg_pipeline_triples",
+    "kg_triples_geo",
+    "link_mentions",
+    "canonicalize_cc",
+    "kg_ontology",
+    "kg_cypher_shape1",
+    "kg_cypher_shape2",
+    "kg_cypher_shape3",
+    "kg_cypher_shape4",
+    "kg_cypher_shape5",
+    "kg_sparql_q1",
+    "kg_sparql_q2",
+    "kg_sparql_q3",
+    "nl_route",
+    "multimodal_decode",
+    "gazetteer_mentions",
+    # graph operators
+    "connected_components",
+    "bfs_khop",
+    "graph_schema",
+    "graph_stats",
+    "fulltext_top1",
+    # LLM-training-data pipeline: dedup / similarity / text analysis
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "neardup_clusters",
+    "ngram_jaccard_pairs",
+    "simhash_neardup_pairs",
+    "ann_cosine_topk",
+    "ann_neardup_pairs",
+    "ann_ivf_multiprobe",
+    "quality_features",
+    "lang_id",
+    "doc_fingerprint",
+    "token_counts",
+    "corpus_token_stats",
+    "corpus_filter",
+    "skew_safe_collect",
+    # relational / scalar micro-ops
+    "slugify_uri",
+    "split_explode",
+    "scalar_filters",
+    "int_cast_fallback",
+    "first_wins",
+    "window_latest_event",
+    "edge_dedup",
+    "traverse_1hop",
+    "attr_pivot",
+    "agg_count_avg",
+    "count_distinct_sample",
+    "answer_extract",
+    "doc_enrich",
+    "windowed_event_counts",
+]
+
+
+def _finalize_registry() -> None:
+    missing = [n for n in _REGISTRY_ORDER if n not in QUERIES]
+    extra = [n for n in QUERIES if n not in _REGISTRY_ORDER]
+    if missing or extra:
+        raise RuntimeError(
+            f"registry order out of sync: missing={missing} extra={extra}"
+        )
+    ordered_q = {n: QUERIES[n] for n in _REGISTRY_ORDER}
+    ordered_o = {n: ORACLES[n] for n in _REGISTRY_ORDER if n in ORACLES}
+    QUERIES.clear()
+    QUERIES.update(ordered_q)
+    ORACLES.clear()
+    ORACLES.update(ordered_o)
+
+
+_finalize_registry()

@@ -225,34 +225,66 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
-    """32-bit SimHash per document over its token multiset.
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """SimHash per document over its token multiset, emitted as 32-bit
+    words: (doc_id, simhash_w0[, simhash_w1, ...]).
 
     bit_i(doc) = 1 iff Σ_tokens (±1 by token-hash bit i) > 0; computed
-    as `bits` algebraic sums over one exploded token stream.
+    as ``bits`` algebraic sums over one exploded token stream (all
+    map-side combinable). Word w covers signature bits [32w, 32w+31]
+    and hashes tokens with md5 hex chars [8w+1, 8w+8].
+
+    Default is 64-bit: a 32-bit signature saturates near 10⁹ docs
+    (birthday-density false collisions in banding buckets), which is
+    below web-corpus scale. Two 32-bit words rather than one 64-bit
+    value keeps every constant inside signed ranges on both Spark and
+    DuckDB — no bit-63 sign traps in either engine.
     """
+    assert bits % 32 == 0 and bits > 0, "bits must be a positive multiple of 32"
+    words = bits // 32
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize_col(F.col(text_col))).alias("token"),
-    ).withColumn("th", h32_col(F.col("token")))
+    ).select("doc_id", F.md5(F.col("token").cast("binary")).alias("md5"))
+    for w in range(words):
+        toks = toks.withColumn(
+            f"th_{w}",
+            F.conv(F.substring(F.col("md5"), 1 + 8 * w, 8), 16, 10).cast("long"),
+        )
     aggs = [
         F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s_{i}")
-        for i in range(bits)
+            F.when(
+                F.shiftright(F.col(f"th_{w}"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s_{w}_{i}")
+        for w in range(words)
+        for i in range(32)
     ]
     summed = toks.groupBy("doc_id").agg(*aggs)
-    sim = None
-    for i in range(bits):
-        term = F.when(F.col(f"s_{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
-    return summed.select("doc_id", sim.alias("simhash"))
+    outs = []
+    for w in range(words):
+        sim = None
+        for i in range(32):
+            term = F.when(
+                F.col(f"s_{w}_{i}") > 0, F.lit(2**i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            sim = term if sim is None else sim + term
+        outs.append(sim.alias(f"simhash_w{w}"))
+    return summed.select("doc_id", *outs)
+
+
+def simhash_word_cols(sim: DataFrame) -> list[str]:
+    """The signature word columns of a simhash() frame, in order."""
+    return sorted(
+        (c for c in sim.columns if c.startswith("simhash_w")),
+        key=lambda c: int(c.removeprefix("simhash_w")),
+    )
 
 
 def simhash_dup_groups(sim: DataFrame) -> DataFrame:
     """Docs sharing an identical simhash → near-dup buckets."""
     return (
-        sim.groupBy("simhash")
+        sim.groupBy(*simhash_word_cols(sim))
         .agg(F.count("*").alias("bucket_size"), F.min("doc_id").alias("rep_doc"))
         .filter(F.col("bucket_size") > 1)
     )
@@ -348,25 +380,29 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, hamming): SimHash near-dup pairs, banded scalably.
 
-    Pigeonhole banding: any two 32-bit simhashes within Hamming
-    distance ≤ 3 agree exactly on at least one of their 4 bytes, so
-    candidates come from a per-(band, byte) bucket self-join — Σ
-    bucket², never n² — then the exact ``bit_count(xor)`` check runs
-    only inside buckets. Same candidate-generation shape as MinHash-LSH
-    (`lsh_candidate_pairs`) and hyperplane-LSH (similarity.py).
+    Pigeonhole banding over the 64-bit two-word signature: any two
+    signatures within Hamming distance ≤ 3 agree exactly on at least
+    one of their 8 bytes (8 bands > 3 differing bytes), so candidates
+    come from a per-(band, byte) bucket self-join — Σ bucket², never
+    n² — then the exact ``bit_count(xor)`` check (summed across words)
+    runs only inside buckets. Same candidate-generation shape as
+    MinHash-LSH (`lsh_candidate_pairs`) and hyperplane-LSH
+    (similarity.py).
     """
-    n_bands = 4
-    assert max_hamming < n_bands, "pigeonhole banding needs max_hamming < bands"
     sim = simhash(docs, id_col=id_col, text_col=text_col)
+    wcols = simhash_word_cols(sim)
+    n_bands = 4 * len(wcols)
+    assert max_hamming < n_bands, "pigeonhole banding needs max_hamming < bands"
     banded = None
-    for b in range(n_bands):
-        part = sim.select(
-            "doc_id",
-            "simhash",
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("byte"),
-        )
-        banded = part if banded is None else banded.unionByName(part)
+    for w, wcol in enumerate(wcols):
+        for b in range(4):
+            part = sim.select(
+                "doc_id",
+                *wcols,
+                F.lit(4 * w + b).alias("band"),
+                F.shiftright(F.col(wcol), 8 * b).bitwiseAND(F.lit(255)).alias("byte"),
+            )
+            banded = part if banded is None else banded.unionByName(part)
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -379,15 +415,17 @@ def simhash_neardup_pairs(
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
-            F.col("l.simhash").alias("sim_a"),
-            F.col("r.simhash").alias("sim_b"),
+            *[F.col(f"l.{c}").alias(f"a_{c}") for c in wcols],
+            *[F.col(f"r.{c}").alias(f"b_{c}") for c in wcols],
         )
         .distinct()
     )
+    hamming = None
+    for c in wcols:
+        term = F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+        hamming = term if hamming is None else hamming + term
     return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-        )
+        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -1,0 +1,121 @@
+"""Deterministic NL-question → query-shape router (I2-lite).
+
+The reference generates Cypher from natural language with an LLM
+(cypher_generator.py:179-204); its prompt carries five few-shot
+examples (cypher_generator.py:23-98) that define the query shapes the
+system actually answers.  This module is the LLM-free counterpart: a
+keyword/pattern router that classifies a question into one of those
+five shapes and extracts the anchor strings (provider / location) the
+shape needs.  The five canonical example questions are the test set.
+
+Everything is pure Column expressions (``rlike`` + ``regexp_extract``
++ ``when`` chains), so routing runs distributed over a DataFrame of
+questions — a million NL queries route in one codegen'd stage, no
+Python in the loop.  Patterns are restricted to syntax shared by Java
+regex and RE2 so the DuckDB oracle mirrors them verbatim.
+
+Shapes (cypher_generator.py few-shot numbering):
+  shape1  provider → TREATS patients
+  shape2  provider → SPECIALIZES_IN specializations
+  shape3  location ← LOCATED_AT providers (reverse, DISTINCT)
+  shape4  provider+location conjunctive 2-hop → patients
+  shape5  provider+location → count(DISTINCT patients), avg(age)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# The five canonical questions from the reference's few-shot prompt
+# (cypher_generator.py:25, 38, 51, 64, 83).
+CANONICAL_QUESTIONS: list[str] = [
+    "Which patients are treated by Dr. Smith?",
+    "What specialization does Dr. Brown have?",
+    "Which healthcare providers are located in New York?",
+    "Which patients are treated by healthcare providers named Sarah"
+    " located in Los Angeles?",
+    "For Dr. Sarah Johnson in Los Angeles, what is the total number of"
+    " patients she treats and what is their average age?",
+]
+
+# Routing patterns (case-insensitive where noted). Order matters:
+# aggregation outranks joins, specialization outranks the generic
+# patient shapes, the conjunctive 2-hop outranks its single-anchor
+# halves. Mirrored 1:1 in oracle_case_sql().
+_P_AGG = r"(?i)(total number|how many|average|avg\b)"
+_P_SPEC = r"(?i)specializ"
+_P_PATIENTS = r"(?i)patients?"
+# Case-sensitive on purpose: a location anchor is a TitleCase run
+# after a standalone "in" — '(?i)' here would false-positive on any
+# lowercase "in the ..." phrase.
+_P_LOCATED = r"\bin\s+[A-Z]"
+# Anchor extraction: a "Dr."-prefixed TitleCase name, or a bare name
+# after "named"; a TitleCase run after "in"/"located in".
+_P_PROVIDER_DR = r"(Dr\.?\s*[A-Z][a-zA-Z]*(?:\s[A-Z][a-zA-Z]*)*)"
+_P_PROVIDER_NAMED = r"named\s+([A-Z][a-zA-Z]*)"
+_P_LOCATION = r"\bin\s+([A-Z][a-zA-Z]*(?:\s[A-Z][a-zA-Z]*)*)"
+
+
+def shape_col(q: Column) -> Column:
+    """Shape id ('shape1'..'shape5', or 'unknown') for a question."""
+    return (
+        F.when(q.rlike(_P_AGG), F.lit("shape5"))
+        .when(q.rlike(_P_SPEC), F.lit("shape2"))
+        .when(q.rlike(_P_PATIENTS) & q.rlike(_P_LOCATED), F.lit("shape4"))
+        .when(q.rlike(_P_LOCATED), F.lit("shape3"))
+        .when(q.rlike(_P_PATIENTS), F.lit("shape1"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def provider_anchor_col(q: Column) -> Column:
+    """Provider anchor text ("Dr. Smith", "Sarah"), NULL if absent."""
+    return F.coalesce(
+        F.nullif(F.regexp_extract(q, _P_PROVIDER_DR, 1), F.lit("")),
+        F.nullif(F.regexp_extract(q, _P_PROVIDER_NAMED, 1), F.lit("")),
+    )
+
+
+def location_anchor_col(q: Column) -> Column:
+    """Location anchor text ("New York"), NULL if absent."""
+    return F.nullif(F.regexp_extract(q, _P_LOCATION, 1), F.lit(""))
+
+
+def route_questions(df: DataFrame, question_col: str = "question") -> DataFrame:
+    """Append (shape, provider_q, location_q) routing columns."""
+    q = F.col(question_col)
+    return df.select(
+        "*",
+        shape_col(q).alias("shape"),
+        provider_anchor_col(q).alias("provider_q"),
+        location_anchor_col(q).alias("location_q"),
+    )
+
+
+def oracle_case_sql(qexpr: str) -> str:
+    """DuckDB mirror of shape/anchor routing for an expression ``qexpr``.
+
+    Returns a SELECT-list fragment producing (shape, provider_q,
+    location_q) with identical semantics (RE2 on both engines after
+    DuckDB's regexp_matches; '(?i)' inline flags are RE2-native).
+    """
+    def m(pat: str) -> str:
+        return f"regexp_matches({qexpr}, '{pat}')"
+
+    shape = (
+        f"CASE WHEN {m(_P_AGG)} THEN 'shape5' "
+        f"WHEN {m(_P_SPEC)} THEN 'shape2' "
+        f"WHEN {m(_P_PATIENTS)} AND {m(_P_LOCATED)} THEN 'shape4' "
+        f"WHEN {m(_P_LOCATED)} THEN 'shape3' "
+        f"WHEN {m(_P_PATIENTS)} THEN 'shape1' "
+        f"ELSE 'unknown' END"
+    )
+    provider = (
+        f"coalesce(nullif(regexp_extract({qexpr}, '{_P_PROVIDER_DR}', 1), ''), "
+        f"nullif(regexp_extract({qexpr}, '{_P_PROVIDER_NAMED}', 1), ''))"
+    )
+    location = f"nullif(regexp_extract({qexpr}, '{_P_LOCATION}', 1), '')"
+    return (
+        f"{shape} AS shape, {provider} AS provider_q, {location} AS location_q"
+    )

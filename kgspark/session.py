@@ -28,14 +28,22 @@ def get_spark(
 ) -> SparkSession:
     """Create (or fetch) a SparkSession with the engine's standard conf."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or os.environ.get("KGSPARK_MASTER")
-    if master is None and "PYSPARK_GATEWAY_PORT" in os.environ:
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
         # Launched by spark-submit: the JVM gateway already carries the
         # --master the user chose; setting builder.master here would
-        # silently override `spark-submit --master yarn` with local[N]
-        pass
-    elif master is None:
-        master = f"local[{cpus}]"
+        # silently override `spark-submit --master yarn` with local[N].
+        # Only an explicit function argument may still do that — the
+        # KGSPARK_MASTER env var must not outrank the --master flag.
+        if master is None and os.environ.get("KGSPARK_MASTER"):
+            import warnings
+
+            warnings.warn(
+                "KGSPARK_MASTER ignored under spark-submit; "
+                "use spark-submit --master instead",
+                stacklevel=2,
+            )
+    else:
+        master = master or os.environ.get("KGSPARK_MASTER") or f"local[{cpus}]"
     if shuffle_partitions is None:
         if master is None:
             shuffle_partitions = 200

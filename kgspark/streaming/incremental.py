@@ -76,6 +76,7 @@ def streaming_exact_dedup(
     pages: DataFrame,
     id_col: str = "url",
     text_col: str = "text",
+    html_col: str | None = "html",
 ) -> DataFrame:
     """Stateful cross-batch exact dedup for a streaming page source.
 
@@ -93,12 +94,13 @@ def streaming_exact_dedup(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     # content key: pre-extracted text when present, else the raw html
-    # bytes, else the id itself (never a shared null/'' bucket)
-    content = F.coalesce(
-        F.nullif(F.col(text_col), F.lit("")),
-        F.col("html").cast("string"),
-        F.col(id_col),
-    )
+    # bytes (only if the frame has that column), else the id itself
+    # (never a shared null/'' bucket)
+    parts = [F.nullif(F.col(text_col), F.lit(""))]
+    if html_col and html_col in pages.columns:
+        parts.append(F.col(html_col).cast("string"))
+    parts.append(F.col(id_col))
+    content = F.coalesce(*parts)
     from kgspark.operators.dedup import normalize_text_col
 
     src = pages.select(

@@ -49,7 +49,10 @@ def test_exact_dedup_groups(spark):
 def test_simhash_near_identical_docs_collide(spark):
     rows = [(1, "alpha beta gamma delta " * 10), (2, "alpha beta gamma delta " * 10)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    sims = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    sims = {
+        r.doc_id: (r.simhash_w0, r.simhash_w1)
+        for r in dedup.simhash(docs).collect()
+    }
     assert sims[1] == sims[2]
     groups = dedup.simhash_dup_groups(dedup.simhash(docs)).collect()
     assert len(groups) == 1 and groups[0].bucket_size == 2
@@ -158,7 +161,10 @@ def test_simhash_neardup_matches_bruteforce(spark):
     """Byte-banded candidate generation must lose nothing vs the n²
     all-pairs check (pigeonhole guarantee for hamming <= 3)."""
     docs = spark.createDataFrame(_mk_docs(n=60), "doc_id long, text string")
-    sim = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    sim = {
+        r.doc_id: (r.simhash_w1 << 32) | r.simhash_w0
+        for r in dedup.simhash(docs).collect()
+    }
     brute = {
         (a, b, bin(sim[a] ^ sim[b]).count("1"))
         for a in sim for b in sim

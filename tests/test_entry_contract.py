@@ -27,5 +27,5 @@ def test_entry_runs_on_sf0001(spark):
 def test_queries_run_on_vanilla_session(spark):
     """A few representative queries must not depend on kgspark session conf."""
     qs = entry_mod.queries()
-    for name in ["slugify_uri", "connected_components", "minhash_signatures"]:
+    for name in ["slugify_uri", "connected_components", "minhash_lsh_pairs"]:
         assert qs[name](spark, "/root/testdata/sf0.001").count() > 0

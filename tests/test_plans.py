@@ -18,7 +18,7 @@ def physical(df) -> str:
 
 
 def test_range_filter_pushes_to_parquet(spark):
-    plan = physical(QUERIES["range_filter"](spark, SF_DIR))
+    plan = physical(QUERIES["scalar_filters"](spark, SF_DIR))
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and any("GreaterThanOrEqual(c_acctbal" in ln for ln in pushed), plan
 
@@ -36,8 +36,8 @@ def test_agg_count_avg_broadcasts_dim(spark):
 def test_textops_stay_jvm_side(spark):
     """Quality/lang-id/fingerprint/token plans must contain no Python
     evaluation operators — everything whole-stage-codegen'd."""
-    for name in ["quality_features", "lang_id", "doc_fingerprint", "token_count",
-                 "minhash_signatures", "simhash", "simhash_neardup_pairs",
+    for name in ["quality_features", "lang_id", "doc_fingerprint", "token_counts",
+                 "minhash_lsh_pairs", "simhash_neardup_pairs",
                  "ann_cosine_topk"]:
         plan = physical(QUERIES[name](spark, SF_DIR))
         assert "EvalPython" not in plan, (name, plan)

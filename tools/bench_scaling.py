@@ -40,6 +40,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 LEGS = tuple(
     int(x) for x in os.environ.get("KGSPARK_SCALING_LEGS", "2,8").split(",")
 )
+# Fail fast on a malformed leg spec — the measurement loop burns many
+# minutes per leg, so this must never be discovered after the fact.
+if len(LEGS) != 2 or LEGS[0] >= LEGS[1]:
+    raise SystemExit(
+        f"KGSPARK_SCALING_LEGS needs exactly 2 increasing legs, got {LEGS}"
+    )
 # KGSPARK_SCALING_PIN=1: taskset each leg to exactly its core budget —
 # the faithful model of "N executors with dedicated cores" (unpinned
 # local[N] lets Python workers and JVM service threads spill onto idle
@@ -201,8 +207,6 @@ def main() -> None:
                     best = leg
             results[cpus] = best
 
-        if len(LEGS) != 2:
-            raise SystemExit(f"KGSPARK_SCALING_LEGS needs exactly 2 legs, got {LEGS}")
         n, n4 = LEGS
         hw = hardware_ceiling(n, n4)
         # ideal speedup is the core ratio, not a hardcoded 4x
