@@ -67,9 +67,50 @@ def fulltext_top1(inverted: DataFrame, query: str) -> DataFrame:
     )
 
 
-def fulltext_topk(inverted: DataFrame, query: str, k: int) -> DataFrame:
+def fulltext_topk(
+    inverted: DataFrame, query: str, k: int, weighted: bool = False
+) -> DataFrame:
+    scored = (
+        score_candidates_idf(inverted, query)
+        if weighted
+        else score_candidates(inverted, query)
+    )
+    return scored.orderBy(F.desc("score"), F.asc("name"), F.asc("id")).limit(k)
+
+
+def score_candidates_idf(inverted: DataFrame, query: str) -> DataFrame:
+    """(id, name, score): IDF-weighted token-overlap ranking.
+
+    score(query, name) = Σ over matched distinct tokens of
+    ``ln(1 + N / df(token))`` — the Lucene-flavoured alternative to the
+    plain overlap count (run_rdf_to_kg.py:60-99 ranks via Lucene
+    TF-IDF). A rare surname outweighs a ubiquitous honorific ("dr"),
+    so ambiguous anchors resolve to the name matching the DISTINCTIVE
+    query tokens, where plain overlap ties.
+
+    The document frequencies come from the inverted table itself — one
+    extra groupBy over the (already-built, token-partitioned) index; N
+    is the entity count. At scale df(token) is materialized alongside
+    the index at build time rather than recomputed per query; plain
+    overlap remains the default scorer because it is the oracle-pinned
+    spec (fulltext_top1).
+    """
+    import re
+
+    qtokens = [t for t in re.split(TOKEN_SPLIT, query.lower()) if t]
+    if not qtokens:
+        qtokens = ["\x00-no-token-\x00"]
+    n_entities = inverted.select("id").distinct().count()
+    df_tbl = (
+        inverted.filter(F.col("token").isin(qtokens))
+        .groupBy("token")
+        .agg(F.countDistinct("id").alias("df"))
+    )
     return (
-        score_candidates(inverted, query)
-        .orderBy(F.desc("score"), F.asc("name"), F.asc("id"))
-        .limit(k)
+        inverted.filter(F.col("token").isin(qtokens))
+        .join(F.broadcast(df_tbl), "token")
+        .groupBy("id", "name")
+        .agg(
+            F.sum(F.log1p(F.lit(float(n_entities)) / F.col("df"))).alias("score")
+        )
     )

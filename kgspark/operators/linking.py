@@ -310,15 +310,36 @@ def link_facts(
     forms (they would then be embedding-matched against *other*
     entities — a precision bug), so pass the full inventory.
     """
-    spark = facts.sparkSession
     if canonicals is None:
         canonicals = aliases.select("canonical")
-
     distinct_mentions = facts.select(F.col(name_col).alias("name")).distinct()
+    mapping = resolve_mapping(
+        distinct_mentions, aliases, canonicals, driver_max_mentions
+    )
+    return apply_mention_map(facts, mapping, name_col)
+
+
+def resolve_mapping(
+    distinct_mentions: DataFrame,
+    aliases: DataFrame,
+    canonicals: DataFrame,
+    driver_max_mentions: int = 200_000,
+) -> DataFrame:
+    """``(name) → (name, canonical_id)`` via the size-adaptive resolver.
+
+    Resolution is **per-mention independent** given (aliases,
+    canonicals): exact and alias tiers are lookups, the embedding tier
+    scores each mention against the canonical inventory alone, and
+    every same-as component is a star around one canonical — so the
+    mapping for a union of mention sets equals the union of mappings.
+    That independence is what makes the incremental linking stage
+    (resolve only never-before-seen mentions, union with the persisted
+    map) bit-identical to one-shot resolution.
+    """
+    spark = distinct_mentions.sparkSession
     # Cheap count-only probe (no row transfer) before deciding the
     # driver path; collecting happens only once we know it fits.
     n_mentions = distinct_mentions.count()
-
     if n_mentions <= driver_max_mentions:
         sample = distinct_mentions.collect()
         # adaptive driver path: the distinct surface-form set is bounded
@@ -329,18 +350,24 @@ def link_facts(
         mapping_dict = resolve_mentions_local(
             [r.name for r in sample], alias_map, canon_set
         )
-        mapping = spark.createDataFrame(
+        return spark.createDataFrame(
             sorted(mapping_dict.items()), schema="name string, canonical_id string"
         )
-    else:
-        resolution = resolve_mentions(distinct_mentions, aliases, canonicals)
-        mapping = canonicalize_by_components(resolution, canonicals)
+    resolution = resolve_mentions(distinct_mentions, aliases, canonicals)
+    return canonicalize_by_components(resolution, canonicals)
 
-    out = (
+
+def apply_mention_map(
+    facts: DataFrame, mapping: DataFrame, name_col: str = "Provider"
+) -> DataFrame:
+    """Rewrite ``facts[name_col]`` through a ``(name, canonical_id)``
+    map (broadcast left join; unmapped names pass through unchanged).
+    Shared by the one-shot ``link_facts`` path and the incremental
+    stage, which maintains the map across micro-batches."""
+    return (
         facts.join(
             F.broadcast(mapping), facts[name_col] == mapping.name, "left"
         )
         .withColumn(name_col, F.coalesce("canonical_id", name_col))
         .drop("name", "canonical_id")
     )
-    return out

@@ -171,23 +171,30 @@ def mention_stream(
     return prov.unionByName(pat).unionByName(spec).unionByName(loc)
 
 
-def build_triples(
+def triple_parts(
     facts: DataFrame,
     order_col: str = "row_idx",
     persist_base: bool = True,
     provenance_col: str | None = None,
-) -> DataFrame:
-    """Fact rows → deduplicated triples DataFrame (schema: TRIPLE_COLUMNS).
+) -> tuple[DataFrame, DataFrame]:
+    """The mergeable decomposition of ``build_triples``.
 
-    Set-equal to ``kgspark.golden.fact_rows_to_triples`` on any input
-    (asserted by tests/test_golden_rdf.py at P/R = 1.0).
+    Returns ``(set_stream, attr_candidates)``:
 
-    With ``provenance_col``, the set-dedup becomes a group-by keeping
-    the min source value per distinct triple in a trailing
-    ``source_ref`` column — same triple set, plus lineage (the
-    reference's ``source_document`` stamping, B9/H2). Pass a COMPACT
-    reference (e.g. ``xxhash64(url)``), not the url string: the value
-    rides every triple-candidate row through the dedup shuffle.
+    - ``set_stream`` — every set-semantics triple candidate (types,
+      SPECIALIZES_IN / LOCATED_AT / TREATS edges, conditions) with a
+      trailing ``src_doc`` column; final form is a plain set-dedup.
+    - ``attr_candidates`` — first-wins attribute candidates
+      ``(uri, attr, o1, o2, v, p)``; final form is
+      ``attr_state_to_triples(reduce_attr_state(attr_candidates))``.
+
+    Both halves merge **associatively** across any partitioning of the
+    fact rows: ``dedup(A ∪ B) = dedup(dedup(A) ∪ dedup(B))`` and
+    ``min-reduce(A ∪ B) = min-reduce(min-reduce(A) ∪ min-reduce(B))``.
+    That associativity is what the incremental pipeline stage
+    (streaming/incremental.py incremental_link_triples) relies on to
+    fold a new micro-batch into persisted state and still produce
+    tables bit-identical to a one-shot batch run.
     """
     extra = [provenance_col] if provenance_col else []
     base = prepare_facts(facts, order_col, extra)
@@ -237,24 +244,42 @@ def build_triples(
         .unionByName(attr_rows(base.filter(F.col("Patient_Gender") != ""), "pat_uri", "gender", F.col("Patient_Gender"), zero))
         .unionByName(attr_rows(base.filter(F.col("Patient_Age") != ""), "pat_uri", "age", F.col("Patient_Age"), zero))
     )
-    firsts = (
-        firsts_in.groupBy("uri", "attr")
-        .agg(F.min(F.struct("o1", "o2", "v", "p")).alias("w"))
-        .withColumn(
-            "parsed",
-            F.when(F.col("attr") == "age", age_literal_udf(F.col("w.v"))).otherwise(
-                F.struct(
-                    F.col("w.v").alias("lex"), F.lit(None).cast("string").alias("dtype")
-                )
-            ),
-        )
+    set_stream = (
+        type_triples.unionByName(spec_edges)
+        .unionByName(loc_edges)
+        .unionByName(treats_edges)
+        .unionByName(cond_triples)
+    )
+    return set_stream, firsts_in
+
+
+def reduce_attr_state(attr_candidates: DataFrame) -> DataFrame:
+    """Min-reduce first-wins candidates to one winner per (uri, attr).
+
+    Associative: re-reducing a union of already-reduced states gives
+    the same winners — the incremental merge operator for attr state.
+    """
+    return attr_candidates.groupBy("uri", "attr").agg(
+        F.min(F.struct("o1", "o2", "v", "p")).alias("w")
+    )
+
+
+def attr_state_to_triples(firsts: DataFrame) -> DataFrame:
+    """Reduced attr state → literal triples (+ trailing src_doc)."""
+    parsed = firsts.withColumn(
+        "parsed",
+        F.when(F.col("attr") == "age", age_literal_udf(F.col("w.v"))).otherwise(
+            F.struct(
+                F.col("w.v").alias("lex"), F.lit(None).cast("string").alias("dtype")
+            )
+        ),
     )
     attr_pred = F.create_map(
         *[F.lit(x) for kv in
           {"name": P_NAME, "bio": P_BIO, "gender": P_GENDER, "age": P_AGE}.items()
           for x in kv]
     )
-    attr_triples = firsts.select(
+    return parsed.select(
         F.col("uri").alias("subj"),
         F.element_at(attr_pred, F.col("attr")).alias("pred"),
         F.col("parsed.lex").alias("obj"),
@@ -264,13 +289,30 @@ def build_triples(
         F.col("w.p").alias("src_doc"),
     )
 
-    out = (
-        type_triples.unionByName(spec_edges)
-        .unionByName(loc_edges)
-        .unionByName(treats_edges)
-        .unionByName(cond_triples)
-        .unionByName(attr_triples.select(*TRIPLE_COLUMNS, "src_doc"))
+
+def build_triples(
+    facts: DataFrame,
+    order_col: str = "row_idx",
+    persist_base: bool = True,
+    provenance_col: str | None = None,
+) -> DataFrame:
+    """Fact rows → deduplicated triples DataFrame (schema: TRIPLE_COLUMNS).
+
+    Set-equal to ``kgspark.golden.fact_rows_to_triples`` on any input
+    (asserted by tests/test_golden_rdf.py at P/R = 1.0).
+
+    With ``provenance_col``, the set-dedup becomes a group-by keeping
+    the min source value per distinct triple in a trailing
+    ``source_ref`` column — same triple set, plus lineage (the
+    reference's ``source_document`` stamping, B9/H2). Pass a COMPACT
+    reference (e.g. ``xxhash64(url)``), not the url string: the value
+    rides every triple-candidate row through the dedup shuffle.
+    """
+    set_stream, attr_candidates = triple_parts(
+        facts, order_col, persist_base, provenance_col
     )
+    attr_triples = attr_state_to_triples(reduce_attr_state(attr_candidates))
+    out = set_stream.unionByName(attr_triples.select(*TRIPLE_COLUMNS, "src_doc"))
     if provenance_col:
         return out.groupBy(*TRIPLE_COLUMNS).agg(
             F.min("src_doc").alias("source_ref")

@@ -249,3 +249,198 @@ def incremental_dedup(
     )
     q.awaitTermination()
     return batches["n"]
+
+
+# --------------------------------------------------------------------------
+# Incremental link + canonicalize + triple-merge (stages 2-3 of the
+# batch pipeline, maintained across micro-batches)
+# --------------------------------------------------------------------------
+
+def _overwrite_parquet(df: DataFrame, path: str) -> None:
+    """Write df to ``path`` atomically-enough for local FS state tables:
+    materialize to a sibling tmp dir first (so reads of the CURRENT
+    state during the write see intact files), then swap. On cloud
+    storage these state tables are Iceberg/Delta MERGE targets and the
+    table format provides the snapshot swap instead."""
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + "__tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+
+
+def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    import os
+
+    return spark.read.parquet(path) if os.path.isdir(path) else None
+
+
+def merge_mention_map(
+    spark: SparkSession,
+    new_mentions: DataFrame,
+    map_path: str,
+    aliases: DataFrame,
+    canonicals: DataFrame,
+) -> DataFrame:
+    """Fold never-before-seen mentions into the persisted
+    ``(name, canonical_id)`` map; returns the merged map.
+
+    Only NEW distinct mentions are resolved (anti-join against the
+    existing map) — the incremental same-as merge. Correct because
+    resolution is per-mention independent given (aliases, canonicals)
+    (see linking.resolve_mapping): the union of incrementally-resolved
+    maps is bit-identical to resolving everything at once.
+    """
+    from kgspark.operators.linking import resolve_mapping
+
+    existing = _read_or_none(spark, map_path)
+    if existing is None:
+        merged = resolve_mapping(new_mentions.distinct(), aliases, canonicals)
+    else:
+        todo = new_mentions.distinct().join(
+            existing.select("name"), "name", "left_anti"
+        )
+        # count() probe mirrors resolve_mapping's own size dispatch; a
+        # drain with no new surface forms costs one anti-join only.
+        if todo.isEmpty():
+            return existing
+        merged = existing.unionByName(
+            resolve_mapping(todo, aliases, canonicals)
+        )
+    _overwrite_parquet(merged, map_path)
+    return spark.read.parquet(map_path)
+
+
+def incremental_link_triples(
+    spark: SparkSession,
+    new_facts: DataFrame,
+    state_dir: str,
+    aliases: DataFrame,
+    canonicals: DataFrame,
+    name_col: str = "Provider",
+    order_col: str = "row_idx",
+) -> dict:
+    """Fold a micro-batch of fact rows into the persisted KG state.
+
+    State tables under ``state_dir`` (all bit-identical at every drain
+    to a one-shot batch run over all facts seen so far — asserted by
+    tests/test_streaming.py):
+
+    - ``mention_map``  (name, canonical_id) — grows by new mentions only
+    - ``set_triples``  set-semantics triples, merged by set union
+    - ``attr_state``   first-wins candidates min-reduced per (uri, attr)
+                       WITH their order keys, so re-reducing the union
+                       of old state and new candidates is exact global
+                       first-wins (associativity of min(struct))
+    - ``triples``      the materialized final triple table
+
+    Scale shape: each merge shuffles on the state key it is already
+    reduced by (triple columns / (uri, attr)); new-batch data is the
+    small side. At 10^12 docs the state tables are Iceberg MERGE
+    targets and this function is the MERGE statement per state table.
+    """
+    from kgspark.operators.linking import apply_mention_map
+    from kgspark.operators.rdf_build import (
+        TRIPLE_COLUMNS,
+        attr_state_to_triples,
+        reduce_attr_state,
+        triple_parts,
+    )
+
+    assert order_col in new_facts.columns, f"facts need an {order_col} column"
+
+    mention_map = merge_mention_map(
+        spark,
+        new_facts.select(F.col(name_col).alias("name")),
+        f"{state_dir}/mention_map",
+        aliases,
+        canonicals,
+    )
+    linked = apply_mention_map(new_facts, mention_map, name_col)
+
+    set_stream, attr_cands = triple_parts(linked, order_col)
+    new_sets = set_stream.drop("src_doc").dropDuplicates(TRIPLE_COLUMNS)
+    old_sets = _read_or_none(spark, f"{state_dir}/set_triples")
+    merged_sets = (
+        new_sets if old_sets is None
+        else old_sets.unionByName(new_sets).dropDuplicates(TRIPLE_COLUMNS)
+    )
+    _overwrite_parquet(merged_sets, f"{state_dir}/set_triples")
+
+    # flatten the winner struct so old state unions cleanly with new
+    # candidate rows before the (associative) re-reduce
+    new_attr = reduce_attr_state(attr_cands).select(
+        "uri", "attr",
+        F.col("w.o1").alias("o1"), F.col("w.o2").alias("o2"),
+        F.col("w.v").alias("v"), F.col("w.p").alias("p"),
+    )
+    old_attr = _read_or_none(spark, f"{state_dir}/attr_state")
+    merged_attr = (
+        new_attr if old_attr is None
+        else reduce_attr_state(old_attr.unionByName(new_attr)).select(
+            "uri", "attr",
+            F.col("w.o1").alias("o1"), F.col("w.o2").alias("o2"),
+            F.col("w.v").alias("v"), F.col("w.p").alias("p"),
+        )
+    )
+    _overwrite_parquet(merged_attr, f"{state_dir}/attr_state")
+
+    sets = spark.read.parquet(f"{state_dir}/set_triples")
+    attrs = attr_state_to_triples(
+        spark.read.parquet(f"{state_dir}/attr_state").select(
+            "uri", "attr", F.struct("o1", "o2", "v", "p").alias("w")
+        )
+    ).drop("src_doc")
+    triples = sets.unionByName(attrs).dropDuplicates(TRIPLE_COLUMNS)
+    _overwrite_parquet(triples, f"{state_dir}/triples")
+
+    n_triples = spark.read.parquet(f"{state_dir}/triples").count()
+    manifests.record_buckets(
+        state_dir,
+        "stream_link_triples",
+        "streaming",
+        {-1: n_triples},
+        {"n_triples": n_triples},
+    )
+    return {"n_triples": n_triples}
+
+
+def incremental_kg(
+    spark: SparkSession,
+    webpages_dir: str,
+    out_dir: str,
+    aliases: DataFrame,
+    canonicals: DataFrame,
+) -> int:
+    """Full incremental pipeline: drain available page files through
+    extract → incremental link/canonicalize → incremental triple merge.
+    After every drain, ``{out_dir}/kg/triples`` equals the one-shot
+    batch pipeline's triples over all pages seen so far, bit-identical.
+    Returns micro-batches processed this invocation."""
+    stream = (
+        spark.readStream.schema(WEBPAGE_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(webpages_dir)
+    )
+    batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        facts = extract_facts(
+            batch_df.select("url", "warc_ts", "html", "text", "lang")
+        ).withColumn("row_idx", F.struct("warc_ts", "url", "sent_idx"))
+        incremental_link_triples(
+            spark, facts, f"{out_dir}/kg", aliases, canonicals
+        )
+        batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{out_dir}/_checkpoints/kg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return batches["n"]

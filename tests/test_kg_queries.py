@@ -140,3 +140,38 @@ def test_cypher_shape_5_aggregates(spark, graph):
     vals = [int(ages[p]) for p in pats if p in ages and ages[p].isdigit()]
     assert row.total_patients == len(pats)
     assert row.avg_age == round(sum(vals) / len(vals), 1)
+
+
+def test_idf_weighted_fulltext_reranks_ambiguous_anchor(spark):
+    """Plain overlap ties 'Dr. Lee' between every 'Dr. *' name at
+    score 1 + the Lee match at 2 vs a hub name carrying both common
+    tokens; IDF weighting must rank the rare-surname match first even
+    when overlap counts tie."""
+    from kgspark.operators.fulltext import (
+        build_inverted_index,
+        fulltext_topk,
+    )
+
+    rows = [
+        (1, "Dr. Smith Lee"),     # overlap('dr lee') = 2
+        (2, "Dr. Dr Center"),     # pathological hub of common tokens
+        (3, "Lee Memorial Dr."),  # overlap = 2 as well — tie on overlap
+        (4, "Dr. Jones"),
+        (5, "Dr. Brown"),
+    ]
+    ents = spark.createDataFrame(rows, "id long, name string")
+    inv = build_inverted_index(ents)
+
+    plain = fulltext_topk(inv, "Dr. Lee", k=3).collect()
+    weighted = fulltext_topk(inv, "Dr. Lee", k=3, weighted=True).collect()
+
+    # overlap scorer: 1 and 3 tie at 2; tie-break is name ASC → id 1
+    assert plain[0].id == 1 and plain[0].score == 2
+    # idf scorer: both matched tokens weigh in, but 'lee' (df=2)
+    # dominates 'dr' (df=5); the two lee-names still lead, and every
+    # dr-only name scores strictly lower than any lee match
+    top_ids = [r.id for r in weighted]
+    assert set(top_ids[:2]) == {1, 3}
+    lee_score = weighted[0].score
+    dr_only = [r for r in weighted if r.id not in (1, 3)]
+    assert all(r.score < lee_score for r in dr_only)

@@ -123,3 +123,68 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     keep2 = spark.read.parquet(f"{out}/keep")
     assert keep2.count() == 40
     assert keep2.select("fingerprint").distinct().count() == 40
+
+
+def test_incremental_kg_two_drains_equals_one_shot_batch(spark, tmp_path):
+    """Incremental link/canonicalize/triple-merge: after draining the
+    corpus in two halves, the persisted triples table and mention map
+    are BIT-IDENTICAL to the one-shot batch pipeline over everything
+    (the associative-merge guarantee of rdf_build.triple_parts +
+    linking.resolve_mapping)."""
+    from kgspark.extract.ner import extract_facts
+    from kgspark.operators.linking import link_facts
+    from kgspark.operators.rdf_build import build_triples
+    from kgspark.streaming.incremental import incremental_kg
+
+    corpus = datagen.generate_corpus(n_pages=80, seed=33)
+    pages, aliases, canonicals = datagen.corpus_to_spark(spark, corpus)
+    src = str(tmp_path / "webpages")
+    out = str(tmp_path / "out")
+
+    half1 = pages.filter(F.col("url").rlike("/page/[0-3][0-9]$|/page/[0-9]$"))
+    half2 = pages.join(half1.select("url"), "url", "left_anti")
+    assert half1.count() > 0 and half2.count() > 0
+
+    half1.write.mode("append").parquet(src)
+    assert incremental_kg(spark, src, out, aliases, canonicals) >= 1
+    mid_triples = spark.read.parquet(f"{out}/kg/triples").count()
+    assert mid_triples > 0
+
+    half2.write.mode("append").parquet(src)
+    assert incremental_kg(spark, src, out, aliases, canonicals) >= 1
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/kg/triples").collect()
+    }
+
+    facts = extract_facts(pages)
+    linked = link_facts(facts, aliases, canonicals)
+    ordered = linked.withColumn("row_idx", F.struct("warc_ts", "url", "sent_idx"))
+    want = {tuple(r) for r in build_triples(ordered, order_col="row_idx").collect()}
+    assert got == want
+
+    # mention map covers exactly the distinct mentions, maps like batch
+    from kgspark.operators.linking import resolve_mapping
+
+    inc_map = {
+        (r.name, r.canonical_id)
+        for r in spark.read.parquet(f"{out}/kg/mention_map").collect()
+    }
+    batch_map = {
+        (r.name, r.canonical_id)
+        for r in resolve_mapping(
+            facts.select(F.col("Provider").alias("name")).distinct(),
+            aliases,
+            canonicals,
+        ).collect()
+    }
+    assert inc_map == batch_map
+
+    # a third drain with no new files must not change the state
+    assert incremental_kg(spark, src, out, aliases, canonicals) == 0
+    again = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/kg/triples").collect()
+    }
+    assert again == got
