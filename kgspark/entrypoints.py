@@ -19,7 +19,6 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from kgspark.constants import BASE, RDF_TYPE
 from kgspark.functions.hashing import hword_sql, tokens_sql

@@ -127,6 +127,10 @@ def hyperplane_signature_bands(
     v = vectors.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
+    # NOTE: expanding the ±1 dots into explicit getItem add-chains was
+    # tried and is ~2× SLOWER — 16 planes × 64 terms exceeds the
+    # codegen method-size limit and the whole projection falls back to
+    # interpreted mode. The HOF aggregate keeps each dot compact.
     bits = [
         F.when(
             dot_col(F.col("v"), F.array(*[F.lit(w) for w in planes[p]])) >= 0,
@@ -134,15 +138,19 @@ def hyperplane_signature_bands(
         ).otherwise(F.lit("0"))
         for p in range(n_planes)
     ]
-    banded = None
-    for b in range(bands):
-        part = v.select(
-            "id",
+    # explode-banding: every dot product is evaluated once per vector in
+    # a single pass; a union-of-selects would re-scan (and under a
+    # self-join re-dot) the vector table once per band
+    bb = F.array(*[
+        F.struct(
             F.lit(b).alias("band"),
             F.concat(*bits[b * rows : (b + 1) * rows]).alias("band_sig"),
         )
-        banded = part if banded is None else banded.unionByName(part)
-    return banded
+        for b in range(bands)
+    ])
+    return v.select("id", F.explode(bb).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig")
+    )
 
 
 def cosine_neardup_pairs_lsh(
@@ -165,9 +173,12 @@ def cosine_neardup_pairs_lsh(
     """
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
+    # materialized once: the banded signature table feeds both sides of
+    # the self-join (the production pipeline writes it out; in-session
+    # the checkpoint is that table boundary)
     banded = hyperplane_signature_bands(
         vectors, dim, n_planes, bands, id_col, vec_col
-    )
+    ).localCheckpoint(eager=True)
     cand = (
         banded.alias("l")
         .join(
