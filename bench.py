@@ -109,8 +109,10 @@ def main() -> None:
     for name in bench_queries:
         force(QUERIES[name](spark, sf_dir))
 
-    # median of N timed runs (default 2) to tame run-to-run VM noise
-    n_runs = int(os.environ.get("KGSPARK_BENCH_RUNS", "2"))
+    # median of N timed runs to tame run-to-run VM noise; default 3
+    # because the median of 2 samples is just their mean — only an odd
+    # count actually rejects a single outlier
+    n_runs = int(os.environ.get("KGSPARK_BENCH_RUNS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in bench_queries}
     for _ in range(n_runs):
         for name in bench_queries:

@@ -1069,7 +1069,8 @@ WITH t AS (SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents)
 SELECT doc_id,
        len(toks) AS n_tokens,
        len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS n_ws_tokens,
-       list_sum(list_transform(toks, x -> (length(x) + 3) // 4))::BIGINT AS n_subwords_est
+       coalesce(list_sum(list_transform(toks, x -> (length(x) + 3) // 4))::BIGINT, 0)
+         AS n_subwords_est
 FROM t
 """,
 )

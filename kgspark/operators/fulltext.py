@@ -68,17 +68,23 @@ def fulltext_top1(inverted: DataFrame, query: str) -> DataFrame:
 
 
 def fulltext_topk(
-    inverted: DataFrame, query: str, k: int, weighted: bool = False
+    inverted: DataFrame,
+    query: str,
+    k: int,
+    weighted: bool = False,
+    n_entities: int | None = None,
 ) -> DataFrame:
     scored = (
-        score_candidates_idf(inverted, query)
+        score_candidates_idf(inverted, query, n_entities=n_entities)
         if weighted
         else score_candidates(inverted, query)
     )
     return scored.orderBy(F.desc("score"), F.asc("name"), F.asc("id")).limit(k)
 
 
-def score_candidates_idf(inverted: DataFrame, query: str) -> DataFrame:
+def score_candidates_idf(
+    inverted: DataFrame, query: str, n_entities: int | None = None
+) -> DataFrame:
     """(id, name, score): IDF-weighted token-overlap ranking.
 
     score(query, name) = Σ over matched distinct tokens of
@@ -89,9 +95,12 @@ def score_candidates_idf(inverted: DataFrame, query: str) -> DataFrame:
     query tokens, where plain overlap ties.
 
     The document frequencies come from the inverted table itself — one
-    extra groupBy over the (already-built, token-partitioned) index; N
-    is the entity count. At scale df(token) is materialized alongside
-    the index at build time rather than recomputed per query; plain
+    extra groupBy over the (already-built, token-partitioned) index,
+    restricted to the query's tokens. N is the entity count: pass a
+    precomputed ``n_entities`` for repeated querying (it is a property
+    of the index, not of the query — recounting it per call would run
+    a full distinct-count job each time); at scale df(token) is
+    likewise materialized alongside the index at build time. Plain
     overlap remains the default scorer because it is the oracle-pinned
     spec (fulltext_top1).
     """
@@ -100,7 +109,8 @@ def score_candidates_idf(inverted: DataFrame, query: str) -> DataFrame:
     qtokens = [t for t in re.split(TOKEN_SPLIT, query.lower()) if t]
     if not qtokens:
         qtokens = ["\x00-no-token-\x00"]
-    n_entities = inverted.select("id").distinct().count()
+    if n_entities is None:
+        n_entities = inverted.select("id").distinct().count()
     df_tbl = (
         inverted.filter(F.col("token").isin(qtokens))
         .groupBy("token")

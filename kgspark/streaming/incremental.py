@@ -257,25 +257,45 @@ def incremental_dedup(
 # --------------------------------------------------------------------------
 
 def _overwrite_parquet(df: DataFrame, path: str) -> None:
-    """Write df to ``path`` atomically-enough for local FS state tables:
-    materialize to a sibling tmp dir first (so reads of the CURRENT
-    state during the write see intact files), then swap. On cloud
-    storage these state tables are Iceberg/Delta MERGE targets and the
-    table format provides the snapshot swap instead."""
+    """Crash-safe state-table swap for local FS.
+
+    Order: materialize to ``path__tmp`` (current state stays readable
+    during the write) → rename current aside to ``path__old`` → rename
+    tmp in → delete old. A kill at ANY point leaves either the new
+    state at ``path`` or the previous state recoverable from
+    ``path__old`` (``_read_or_none`` restores it), never nothing —
+    and since streaming offsets only commit after the batch function
+    returns, a lost in-flight merge is simply replayed, which the
+    set-union / min-reduce / anti-join merges absorb idempotently.
+    On cloud storage these state tables are Iceberg/Delta MERGE
+    targets and the table format provides the snapshot swap instead.
+    """
     import os
     import shutil
 
     tmp = path.rstrip("/") + "__tmp"
+    old = path.rstrip("/") + "__old"
     shutil.rmtree(tmp, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(path):
+        os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     import os
 
-    return spark.read.parquet(path) if os.path.isdir(path) else None
+    if not os.path.isdir(path):
+        # recover from a swap interrupted between rename-aside and
+        # rename-in: the previous state is intact under __old
+        old = path.rstrip("/") + "__old"
+        if os.path.isdir(old):
+            os.rename(old, path)
+        else:
+            return None
+    return spark.read.parquet(path)
 
 
 def merge_mention_map(
@@ -361,7 +381,12 @@ def incremental_link_triples(
     )
     linked = apply_mention_map(new_facts, mention_map, name_col)
 
-    set_stream, attr_cands = triple_parts(linked, order_col)
+    # persist_base=False: the default per-call persist() of the prepared
+    # base would accumulate cached RDDs across micro-batches of a
+    # long-running ingest (nothing unpersists them); micro-batches are
+    # small, so recomputing base for the two consumers is the cheaper
+    # trade here.
+    set_stream, attr_cands = triple_parts(linked, order_col, persist_base=False)
     new_sets = set_stream.drop("src_doc").dropDuplicates(TRIPLE_COLUMNS)
     old_sets = _read_or_none(spark, f"{state_dir}/set_triples")
     merged_sets = (
@@ -371,19 +396,21 @@ def incremental_link_triples(
     _overwrite_parquet(merged_sets, f"{state_dir}/set_triples")
 
     # flatten the winner struct so old state unions cleanly with new
-    # candidate rows before the (associative) re-reduce
-    new_attr = reduce_attr_state(attr_cands).select(
-        "uri", "attr",
-        F.col("w.o1").alias("o1"), F.col("w.o2").alias("o2"),
-        F.col("w.v").alias("v"), F.col("w.p").alias("p"),
-    )
-    old_attr = _read_or_none(spark, f"{state_dir}/attr_state")
-    merged_attr = (
-        new_attr if old_attr is None
-        else reduce_attr_state(old_attr.unionByName(new_attr)).select(
+    # candidate rows before the (associative) re-reduce; single helper
+    # so the column set can never diverge between the two merge sites
+    def _flatten_attr_state(reduced: DataFrame) -> DataFrame:
+        return reduced.select(
             "uri", "attr",
             F.col("w.o1").alias("o1"), F.col("w.o2").alias("o2"),
             F.col("w.v").alias("v"), F.col("w.p").alias("p"),
+        )
+
+    new_attr = _flatten_attr_state(reduce_attr_state(attr_cands))
+    old_attr = _read_or_none(spark, f"{state_dir}/attr_state")
+    merged_attr = (
+        new_attr if old_attr is None
+        else _flatten_attr_state(
+            reduce_attr_state(old_attr.unionByName(new_attr))
         )
     )
     _overwrite_parquet(merged_attr, f"{state_dir}/attr_state")

@@ -43,6 +43,24 @@ def test_textops_stay_jvm_side(spark):
         assert "EvalPython" not in plan, (name, plan)
 
 
+def test_signature_computation_stays_jvm_side(spark):
+    """The banding queries localCheckpoint their signature tables, which
+    hides everything upstream behind a Scan ExistingRDD in their plans —
+    so assert on the UNcheckpointed signature frames directly: the
+    heaviest dedup computations must carry no Python evaluation."""
+    from kgspark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for frame in [
+        dedup.simhash(docs),
+        dedup.minhash_signatures(docs),
+        dedup.lsh_banded(dedup.minhash_signatures(docs)),
+    ]:
+        plan = physical(frame)
+        assert "EvalPython" not in plan, plan
+        assert "Scan ExistingRDD" not in plan, plan
+
+
 def test_edge_partition_pruning(spark, tmp_path):
     """Pipeline edge tables are partitioned by rel; a rel-filtered scan
     must show a PartitionFilters entry pruning to one directory."""
