@@ -188,3 +188,31 @@ def test_incremental_kg_two_drains_equals_one_shot_batch(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/kg/triples").collect()
     }
     assert again == got
+
+
+def test_state_swap_recovers_from_interrupted_overwrite(spark, tmp_path):
+    """_overwrite_parquet + _read_or_none: a swap killed between the
+    rename-aside and the rename-in must leave the previous state
+    recoverable, never nothing."""
+    import os
+
+    from kgspark.streaming.incremental import _overwrite_parquet, _read_or_none
+
+    path = str(tmp_path / "state")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    _overwrite_parquet(df1, path)
+    assert {r.id for r in _read_or_none(spark, path).collect()} == {1, 2}
+
+    # simulate the crash window: current state renamed aside, new state
+    # never renamed in
+    os.rename(path, path + "__old")
+    assert not os.path.isdir(path)
+    recovered = _read_or_none(spark, path)
+    assert recovered is not None
+    assert {r.id for r in recovered.collect()} == {1, 2}
+    assert os.path.isdir(path)  # restored in place
+
+    # a subsequent normal swap still works
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    _overwrite_parquet(df2, path)
+    assert {r.id for r in _read_or_none(spark, path).collect()} == {3}
