@@ -34,35 +34,30 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str,
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
 
 
-def _entity(df: DataFrame, name_col: str, cls: str) -> DataFrame:
-    uri = mint_uri_col(F.trim(F.col(name_col)))
-    t = df.select(
-        uri.alias("subj"),
-        F.lit(RDF_TYPE).alias("pred"),
-        F.lit(cls).alias("obj"),
-        F.lit(KIND_URI).alias("obj_kind"),
-        F.lit(None).cast("string").alias("obj_dtype"),
-        F.lit(None).cast("string").alias("obj_lang"),
+def _cand(pred: str, obj, kind: str):
+    return F.struct(
+        F.lit(pred).alias("pred"), obj.alias("obj"), F.lit(kind).alias("obj_kind")
     )
-    n = df.select(
-        uri.alias("subj"),
-        F.lit(P_NAME_R).alias("pred"),
-        F.trim(F.col(name_col)).alias("obj"),
-        F.lit(KIND_LITERAL).alias("obj_kind"),
-        F.lit(None).cast("string").alias("obj_dtype"),
-        F.lit(None).cast("string").alias("obj_lang"),
-    )
-    return t.unionByName(n)
 
 
-def _edge(df: DataFrame, src_name, pred: str, dst_name) -> DataFrame:
-    return df.select(
-        mint_uri_col(F.trim(src_name)).alias("subj"),
-        F.lit(pred).alias("pred"),
-        mint_uri_col(F.trim(dst_name)).alias("obj"),
-        F.lit(KIND_URI).alias("obj_kind"),
-        F.lit(None).cast("string").alias("obj_dtype"),
-        F.lit(None).cast("string").alias("obj_lang"),
+def _explode_cands(df: DataFrame, subj, cands: list) -> DataFrame:
+    """One pass per source table: the subject URI (slug pandas UDF) is
+    evaluated once per row and every triple candidate rides out through
+    a single explode — a union of per-triple selects would re-run the
+    Arrow slug batch once per branch (same recompute shape as the LSH
+    banding unions, fixed the same way)."""
+    return (
+        df.select(subj.alias("subj"), F.explode(F.array(*cands)).alias("t"))
+        .select(
+            "subj",
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj").alias("obj"),
+            F.col("t.obj_kind").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_dtype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        )
+        # left-join edge targets may be absent; entity/literal objs never are
+        .filter(F.col("obj").isNotNull())
     )
 
 
@@ -72,39 +67,61 @@ def build_geo_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     Join strategy: nation (25 rows) and region (5 rows) broadcast onto
     the big fact tables — no shuffle for edge derivation; the only
     shuffle is the final set-dedup, keyed by the (uniform) triple hash.
+    Each source table is scanned once, with all of its triple
+    candidates (type, name, literals, containment edge) exploding out
+    of a single projection.
     """
     t = load_tables(spark, sf_dir, ["customer", "supplier", "nation", "region"])
     nation = F.broadcast(t["nation"])
     region = F.broadcast(t["region"])
 
-    cust_nat = t["customer"].join(nation, t["customer"].c_nationkey == nation.n_nationkey)
-    supp_nat = t["supplier"].join(nation, t["supplier"].s_nationkey == nation.n_nationkey)
-    nat_reg = t["nation"].join(region, t["nation"].n_regionkey == region.r_regionkey)
+    cust = t["customer"].join(
+        nation, t["customer"].c_nationkey == nation.n_nationkey, "left"
+    )
+    supp = t["supplier"].join(
+        nation, t["supplier"].s_nationkey == nation.n_nationkey, "left"
+    )
+    nat = t["nation"].join(
+        region, t["nation"].n_regionkey == region.r_regionkey, "left"
+    )
 
     parts = [
-        _entity(t["customer"], "c_name", CLS_CUSTOMER),
-        _entity(t["supplier"], "s_name", CLS_SUPPLIER),
-        _entity(t["nation"], "n_name", CLS_NATION),
-        _entity(t["region"], "r_name", CLS_REGION),
-        _edge(cust_nat, F.col("c_name"), P_LOCATED_IN, F.col("n_name")),
-        _edge(supp_nat, F.col("s_name"), P_LOCATED_IN, F.col("n_name")),
-        _edge(nat_reg, F.col("n_name"), P_PART_OF, F.col("r_name")),
-        # literal attributes (acctbal as canonical-form decimal string)
-        t["customer"].select(
-            mint_uri_col(F.trim(F.col("c_name"))).alias("subj"),
-            F.lit(P_ACCTBAL).alias("pred"),
-            F.format_string("%.2f", F.col("c_acctbal")).alias("obj"),
-            F.lit(KIND_LITERAL).alias("obj_kind"),
-            F.lit(None).cast("string").alias("obj_dtype"),
-            F.lit(None).cast("string").alias("obj_lang"),
+        _explode_cands(
+            cust,
+            mint_uri_col(F.trim(F.col("c_name"))),
+            [
+                _cand(RDF_TYPE, F.lit(CLS_CUSTOMER), KIND_URI),
+                _cand(P_NAME_R, F.trim(F.col("c_name")), KIND_LITERAL),
+                _cand(P_ACCTBAL, F.format_string("%.2f", F.col("c_acctbal")), KIND_LITERAL),
+                _cand(P_SEGMENT, F.col("c_mktsegment"), KIND_LITERAL),
+                _cand(P_LOCATED_IN, mint_uri_col(F.trim(F.col("n_name"))), KIND_URI),
+            ],
         ),
-        t["customer"].select(
-            mint_uri_col(F.trim(F.col("c_name"))).alias("subj"),
-            F.lit(P_SEGMENT).alias("pred"),
-            F.col("c_mktsegment").alias("obj"),
-            F.lit(KIND_LITERAL).alias("obj_kind"),
-            F.lit(None).cast("string").alias("obj_dtype"),
-            F.lit(None).cast("string").alias("obj_lang"),
+        _explode_cands(
+            supp,
+            mint_uri_col(F.trim(F.col("s_name"))),
+            [
+                _cand(RDF_TYPE, F.lit(CLS_SUPPLIER), KIND_URI),
+                _cand(P_NAME_R, F.trim(F.col("s_name")), KIND_LITERAL),
+                _cand(P_LOCATED_IN, mint_uri_col(F.trim(F.col("n_name"))), KIND_URI),
+            ],
+        ),
+        _explode_cands(
+            nat,
+            mint_uri_col(F.trim(F.col("n_name"))),
+            [
+                _cand(RDF_TYPE, F.lit(CLS_NATION), KIND_URI),
+                _cand(P_NAME_R, F.trim(F.col("n_name")), KIND_LITERAL),
+                _cand(P_PART_OF, mint_uri_col(F.trim(F.col("r_name"))), KIND_URI),
+            ],
+        ),
+        _explode_cands(
+            t["region"],
+            mint_uri_col(F.trim(F.col("r_name"))),
+            [
+                _cand(RDF_TYPE, F.lit(CLS_REGION), KIND_URI),
+                _cand(P_NAME_R, F.trim(F.col("r_name")), KIND_LITERAL),
+            ],
         ),
     ]
     out = parts[0]
