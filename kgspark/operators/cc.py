@@ -63,6 +63,7 @@ def connected_components(
     assign = all_nodes.select("id", F.col("id").alias("component")).localCheckpoint()
     sym = sym.localCheckpoint()
 
+    converged = False
     for _ in range(max_iterations):
         msgs = sym.join(assign, sym.a == assign.id).select(
             F.col("b").alias("id"), "component"
@@ -82,7 +83,18 @@ def connected_components(
         )
         assign = new_assign
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # hash-min propagates the label one hop per round; returning
+        # here would hand back silently-fractured components on any
+        # graph whose diameter exceeds the budget
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "hash-min rounds (graph diameter exceeds the budget); use "
+            "connected_components_star / connected_components_auto, "
+            "which finish in O(log n) rounds regardless of diameter"
+        )
     return assign
 
 
@@ -179,6 +191,7 @@ def connected_components_auto(
     src: str = "src",
     dst: str = "dst",
     driver_max_edges: int = 500_000,
+    driver_max_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Size-adaptive CC: tiny graphs are solved driver-side.
 
@@ -196,8 +209,13 @@ def connected_components_auto(
     spark = nodes.sparkSession
     sym = undirected_closure(edges, src, dst).persist()
     try:
+        # Both counts gate the driver path: a same-as graph can have a
+        # tiny edge list over an enormous mostly-isolated node set (50M
+        # self-resolved mentions, a few thousand merges) — the node
+        # collect below would OOM the driver while the edge guard waves
+        # it through. Count-only probes, no row transfer until both fit.
         n_edges = sym.count()
-        if n_edges > driver_max_edges:
+        if n_edges > driver_max_edges or nodes.count() > driver_max_nodes:
             return connected_components_star(
                 nodes, edges, node_col, src, dst, sym=sym
             )

@@ -11,7 +11,13 @@ reference's exact-name ``uri_cache``/Neo4j-MERGE identity
    blocked by shared surname-ish token so no cross join materializes.
 
 Unresolved mentions keep their surface form (they become their own
-entity) — recall favoring precision, threshold 0.60.
+entity) — recall favoring precision, cosine threshold 0.75.
+
+An alias mapped to multiple canonicals is resolved to the
+lexicographically-smallest canonical on BOTH the distributed and the
+driver path (deterministic, and identical across the size-adaptive
+dispatch); merging the rival canonicals instead would let one dirty
+alias row fuse two real entities.
 """
 
 from __future__ import annotations
@@ -88,7 +94,10 @@ def resolve_mentions(
         F.broadcast(canon), m.name == canon.canonical, "left"
     ).select("name", F.col("canonical").alias("r_exact"))
 
-    al = aliases.select(F.col("alias"), F.col("canonical").alias("r_alias"))
+    # min-canonical per alias: keeps the join 1:1 (an ambiguous alias
+    # row would otherwise duplicate every matching mention) and matches
+    # the driver path's deterministic pick
+    al = aliases.groupBy("alias").agg(F.min("canonical").alias("r_alias"))
     step2 = exact.join(F.broadcast(al), exact.name == al["alias"], "left").select(
         "name", "r_exact", "r_alias"
     )
@@ -337,6 +346,10 @@ def resolve_mapping(
     map) bit-identical to one-shot resolution.
     """
     spark = distinct_mentions.sparkSession
+    # null surface forms resolve to nothing: drop them here so the
+    # driver path's string ops never see None and apply_mention_map's
+    # left join passes the null through unchanged on both paths
+    distinct_mentions = distinct_mentions.na.drop(subset=["name"])
     # Cheap count-only probe (no row transfer) before deciding the
     # driver path; collecting happens only once we know it fits.
     n_mentions = distinct_mentions.count()
@@ -345,7 +358,13 @@ def resolve_mapping(
         # adaptive driver path: the distinct surface-form set is bounded
         # by the entity inventory, so even a 10^12-doc corpus usually
         # lands here; saves ~15 Spark jobs of fixed latency
-        alias_map = {r.alias: r.canonical for r in aliases.collect()}
+        alias_map: dict[str, str] = {}
+        for r in aliases.collect():
+            # min-canonical per alias — deterministic and identical to
+            # the distributed path's groupBy(alias).min(canonical)
+            prev = alias_map.get(r.alias)
+            if prev is None or r.canonical < prev:
+                alias_map[r.alias] = r.canonical
         canon_set = {r.canonical for r in canonicals.collect()}
         mapping_dict = resolve_mentions_local(
             [r.name for r in sample], alias_map, canon_set
@@ -354,7 +373,16 @@ def resolve_mapping(
             sorted(mapping_dict.items()), schema="name string, canonical_id string"
         )
     resolution = resolve_mentions(distinct_mentions, aliases, canonicals)
-    return canonicalize_by_components(resolution, canonicals)
+    mapping = canonicalize_by_components(resolution, canonicals)
+    # Restrict to the input mentions: canonicalize_by_components emits a
+    # row for every CC node including canonicals that appear only as
+    # resolution TARGETS; the driver path emits mention keys only. The
+    # extra identity rows are harmless within one resolve but break the
+    # paths' bit-identity — and under the incremental mention-map merge
+    # a target-only canonical would be re-emitted by every batch (it is
+    # never a "seen mention"), stacking duplicate map keys that fan out
+    # fact rows on apply.
+    return mapping.join(distinct_mentions, "name", "left_semi")
 
 
 def apply_mention_map(

@@ -27,7 +27,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kgspark.extract.ner import extract_facts
+from kgspark.extract.ner import EXTRACT_SCHEMA, extract_facts
 from kgspark.operators.graph_build import edges_from_triples, nodes_from_triples
 from kgspark.operators.linking import link_facts
 from kgspark.operators.rdf_build import build_triples
@@ -55,6 +55,21 @@ def run_pipeline(
     # ---- stage 1: extraction (bucketed, resumable) ----------------------
     t0 = time.time()
     all_buckets = list(range(n_buckets))
+    # Snapshot (or bucket-layout) change = full truncate-and-reload of
+    # the facts table. Dynamic partition overwrite only replaces
+    # partitions PRESENT in the new data, so without this wipe a bucket
+    # that is empty under the new snapshot — or any bucket ≥ a reduced
+    # n_buckets — would silently keep the previous snapshot's rows and
+    # feed them to every downstream stage. (On Iceberg this is the
+    # snapshot-replace commit; on plain parquet it has to be explicit.)
+    prev = manifests.read_manifest(out_dir, "extract")
+    if prev is not None and (
+        prev.get("snapshot") != snapshot
+        or prev.get("conf", {}).get("n_buckets", n_buckets) != n_buckets
+    ):
+        import shutil
+
+        shutil.rmtree(f"{out_dir}/facts", ignore_errors=True)
     todo = manifests.pending_buckets(out_dir, "extract", snapshot, all_buckets)
     if todo:
         src = webpages.withColumn("bucket", bucket_col(F.col("url"), n_buckets))
@@ -92,7 +107,12 @@ def run_pipeline(
         "sec": round(time.time() - t0, 3),
     }
 
-    facts = spark.read.parquet(f"{out_dir}/facts")
+    # explicit schema: a corpus yielding zero fact rows writes no part
+    # files, and schema inference over an empty dir would throw instead
+    # of flowing an empty table through the remaining stages
+    facts = spark.read.schema(EXTRACT_SCHEMA + ", bucket int").parquet(
+        f"{out_dir}/facts"
+    )
 
     # ---- stage 2: entity linking + CC canonicalization ------------------
     t0 = time.time()
@@ -122,9 +142,15 @@ def run_pipeline(
             "row_idx", F.struct("warc_ts", "url", "sent_idx")
         ).withColumn("src_ref", F.xxhash64("url"))
         triples = build_triples(ordered, order_col="row_idx", provenance_col="src_ref")
+        # Salted write WITHOUT an explicit partition count: passing
+        # salt_buckets as the count would cap the whole write at
+        # salt_buckets tasks regardless of cluster size — the salt's job
+        # is only to split a hot predicate across salt_buckets distinct
+        # shuffle keys; the partition count stays
+        # spark.sql.shuffle.partitions (AQE-coalesced).
         (
             triples.repartition(
-                salt_buckets, F.col("pred"), F.pmod(F.xxhash64("subj"), F.lit(salt_buckets))
+                F.col("pred"), F.pmod(F.xxhash64("subj"), F.lit(salt_buckets))
             )
             .write.mode("overwrite")
             .parquet(f"{out_dir}/triples")

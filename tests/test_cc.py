@@ -137,3 +137,19 @@ def test_star_cc_includes_bare_endpoints_and_isolated(spark):
         for r in connected_components_star(ndf, edf, "id").collect()
     }
     assert got == {"a": "a", "z": "z", "x": "x", "y": "x"}
+
+
+def test_hash_min_cc_raises_instead_of_silent_unconvergence(spark):
+    """A path graph longer than the round budget must raise (hash-min
+    moves labels one hop per round), never return fractured components."""
+    import pytest
+
+    from kgspark.operators.cc import connected_components
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n - 1)], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame([(f"n{i:03d}",) for i in range(n)], ["id"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iterations=3)

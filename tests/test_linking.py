@@ -85,3 +85,50 @@ def test_local_resolver_target_only_canonical(spark):
         r.name: r.canonical_id for r in canonicalize_by_components(res, c).collect()
     }
     assert {k: distributed[k] for k in mentions} == local
+
+
+def test_ambiguous_alias_resolves_to_min_canonical_on_both_paths(spark):
+    """An alias row mapped to two canonicals must resolve to the
+    lexicographically-smallest canonical, identically on the driver and
+    distributed paths (and never duplicate the mention row)."""
+    from kgspark.operators.linking import resolve_mapping
+
+    mentions = spark.createDataFrame([("st marys",), ("Hospital A",)], ["name"])
+    aliases = spark.createDataFrame(
+        [("st marys", "Hospital B"), ("st marys", "Hospital A")],
+        ["alias", "canonical"],
+    )
+    canonicals = spark.createDataFrame(
+        [("Hospital A",), ("Hospital B",)], ["canonical"]
+    )
+    local = {
+        (r.name, r.canonical_id)
+        for r in resolve_mapping(mentions, aliases, canonicals).collect()
+    }
+    dist = {
+        (r.name, r.canonical_id)
+        for r in resolve_mapping(
+            mentions, aliases, canonicals, driver_max_mentions=0
+        ).collect()
+    }
+    assert local == dist == {("st marys", "Hospital A"), ("Hospital A", "Hospital A")}
+
+
+def test_resolve_mapping_paths_emit_mention_keys_only(spark):
+    """The distributed path must not emit rows for canonicals that
+    appear only as resolution targets — exactly the driver path's key
+    set, or the incremental mention-map merge stacks duplicates."""
+    from kgspark.operators.linking import resolve_mapping
+
+    mentions = spark.createDataFrame([("Supp 17",), (None,)], ["name"])
+    aliases = spark.createDataFrame(
+        [("Supp 17", "Supplier#17")], ["alias", "canonical"]
+    )
+    canonicals = spark.createDataFrame([("Supplier#17",)], ["canonical"])
+    for cap in (10, 0):  # driver path, then distributed path
+        rows = resolve_mapping(
+            mentions, aliases, canonicals, driver_max_mentions=cap
+        ).collect()
+        assert {(r.name, r.canonical_id) for r in rows} == {
+            ("Supp 17", "Supplier#17")
+        }, cap

@@ -99,3 +99,32 @@ def test_pipeline_crash_between_write_and_manifest_is_idempotent(spark, tmp_path
     assert metrics["extract"]["processed_buckets"] == 4  # all re-run
     assert spark.read.parquet(f"{out}/facts").count() == n_facts  # no dupes
     assert triple_set(spark.read.parquet(f"{out}/triples")) == expected
+
+
+def test_new_snapshot_truncates_stale_buckets(spark, tmp_path):
+    """Snapshot change = truncate-and-reload: a bucket that is empty
+    under the new snapshot must NOT keep the previous snapshot's facts
+    (dynamic partition overwrite alone only replaces partitions present
+    in the new data)."""
+    from kgspark.extract.ner import extract_facts
+
+    corpus, _ = _corpus_and_golden()
+    pages, aliases, canonicals = datagen.corpus_to_spark(spark, corpus)
+    out = str(tmp_path / "kg")
+    run_pipeline(
+        spark, pages, aliases, out, snapshot="snap-A",
+        canonicals=canonicals, n_buckets=4,
+    )
+    full = spark.read.parquet(f"{out}/facts").count()
+    assert full > 0
+
+    # second snapshot: a small page subset that cannot cover all 4
+    # buckets — any stale S1 rows would survive in the missing buckets
+    subset = pages.limit(3)
+    run_pipeline(
+        spark, subset, aliases, out, snapshot="snap-B",
+        canonicals=canonicals, n_buckets=4,
+    )
+    got = spark.read.parquet(f"{out}/facts").drop("bucket").count()
+    want = extract_facts(subset).count()
+    assert got == want, f"stale facts leaked across snapshots: {got} != {want}"
