@@ -288,7 +288,7 @@ def first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_exact",
     """
 SELECT min(doc_id) AS doc_id,
-       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       coalesce(md5(nullif(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '')), 'doc#' || doc_id::VARCHAR) AS fingerprint,
        count(*) AS dup_count
 FROM documents GROUP BY 2
 """,
@@ -1054,7 +1054,7 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_fingerprint",
-    "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint"
+    "SELECT doc_id, coalesce(md5(nullif(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '')), 'doc#' || doc_id::VARCHAR) AS fingerprint"
     " FROM documents",
 )
 def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1132,7 +1132,7 @@ def _corpus_filter_sql(
 WITH qf AS ({_QUALITY_SQL}),
 li AS ({_lang_id_sql()}),
 fp AS (SELECT doc_id,
-              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+              coalesce(md5(nullif(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '')), 'doc#' || doc_id::VARCHAR) AS fingerprint
        FROM documents),
 ex0 AS (SELECT fingerprint, min(doc_id) AS keeper FROM fp GROUP BY fingerprint),
 ex AS (SELECT fp.doc_id,

@@ -23,13 +23,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kgspark.functions.hashing import h32_col
 from kgspark.operators.fulltext import tokenize_col
 
 
 def normalize_text_col(col: Column) -> Column:
     """Whitespace-collapsed, lowercased, trimmed content key."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint_col(text: Column, doc_ref: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text, with NULL or
+    whitespace-only content falling back to a per-document sentinel
+    ('doc#<id>' — can never collide with an md5 hex string).
+
+    Without the fallback every absent-content page (html-only rows,
+    blank extractions — common at web scale) would share one NULL/empty
+    fingerprint and be reported as mutual exact duplicates.
+    """
+    norm = F.nullif(normalize_text_col(text), F.lit(""))
+    return F.coalesce(
+        F.md5(norm.cast("binary")),
+        F.concat(F.lit("doc#"), doc_ref.cast("string")),
+    )
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -41,7 +56,7 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.md5(normalize_text_col(F.col(text_col)).cast("binary")).alias("fingerprint"),
+            fingerprint_col(F.col(text_col), F.col(id_col)).alias("fingerprint"),
         )
         .groupBy("fingerprint")
         .agg(
@@ -120,6 +135,12 @@ def lsh_banded(signatures: DataFrame, num_hashes: int = 16, bands: int = 4) -> D
     row, so the signature subtree is scanned once — a union-of-selects
     would recompute it per band (and per consumer under a self-join).
     """
+    assert bands > 0 and num_hashes % bands == 0, (
+        f"bands ({bands}) must divide num_hashes ({num_hashes}); a "
+        "remainder silently drops trailing hashes from banding (lower "
+        "recall than configured), and bands > num_hashes gives empty "
+        "band signatures — one global n² bucket"
+    )
     rows = num_hashes // bands
     bb = F.array(*[
         F.struct(

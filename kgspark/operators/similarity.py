@@ -36,8 +36,17 @@ def dot_col(a: Column, b: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity, NULL when either vector has zero norm.
+
+    The guard matters: 0/0 yields NaN, and Spark orders NaN ABOVE every
+    number and passes it through ``>= threshold`` filters — one all-zero
+    embedding (padding, failed encode) would otherwise rank as the
+    top-1 neighbor of every query and a "near-duplicate" of everything.
+    NULL instead drops out of filters and sorts last under desc.
+    """
     a, b = _as_double(a), _as_double(b)
-    return dot_col(a, b) / F.sqrt(dot_col(a, a) * dot_col(b, b))
+    denom = F.sqrt(dot_col(a, a) * dot_col(b, b))
+    return F.when(denom > 0, dot_col(a, b) / denom)
 
 
 def cosine_topk(
@@ -60,6 +69,8 @@ def cosine_topk(
     scored = (
         v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", cosine_col(F.col("q_vec"), F.col("v_vec")))
+        # undefined similarity (zero-norm vector) is not a neighbor
+        .filter(F.col("cos").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -122,6 +133,11 @@ def hyperplane_signature_bands(
     near-duplicates collide in ≥1 band with high probability while the
     bucket join stays Σ bucket², never n².
     """
+    assert bands > 0 and n_planes % bands == 0, (
+        f"bands ({bands}) must divide n_planes ({n_planes}); a remainder "
+        "silently drops trailing bits, and bands > n_planes degenerates "
+        "to one global bucket"
+    )
     planes = hyperplane_weights(n_planes, dim)
     rows = n_planes // bands
     v = vectors.select(
@@ -172,7 +188,14 @@ def cosine_neardup_pairs_lsh(
     P(miss) = (1 - p⁴)^4 ≈ 2·10⁻⁴.
     """
     if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+        probe = vectors.select(vec_col).first()
+        if probe is None:  # empty input → empty pair set, not a crash
+            return vectors.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0.0).alias("cos"),
+            ).limit(0)
+        dim = len(probe[0])
     # materialized once: the banded signature table feeds both sides of
     # the self-join (the production pipeline writes it out; in-session
     # the checkpoint is that table boundary)
@@ -274,6 +297,8 @@ def ivf_topk(
         .join(F.broadcast(q_assigned), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", cosine_col(F.col("q_vec"), F.col("embedding")))
+        # undefined similarity (zero-norm vector) is not a neighbor
+        .filter(F.col("cos").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

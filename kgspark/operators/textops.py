@@ -11,7 +11,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kgspark.operators.dedup import normalize_text_col
 from kgspark.operators.fulltext import tokenize_col
 
 # Deterministic mini stopword lists (spec'd, not linguistic truth).
@@ -79,10 +78,14 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, fingerprint) — md5 of whitespace-normalized lowercase text."""
+    """(doc_id, fingerprint) — md5 of whitespace-normalized lowercase
+    text; absent/whitespace-only content gets a per-doc sentinel so
+    empty pages never alias each other (dedup.fingerprint_col)."""
+    from kgspark.operators.dedup import fingerprint_col
+
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.md5(normalize_text_col(F.col(text_col)).cast("binary")).alias("fingerprint"),
+        fingerprint_col(F.col(text_col), F.col(id_col)).alias("fingerprint"),
     )
 
 
@@ -165,8 +168,10 @@ def corpus_filter(
     li = language_id(docs, id_col, text_col).select("doc_id", "pred_lang")
     # one normalize+md5 pass: the keeper table (exact_dedup's own
     # min-id-per-fingerprint agg) derives from fp rather than re-hashing
-    # the full corpus a second time
-    fp = fingerprint(docs, id_col, text_col)
+    # the full corpus a second time; materialized because fp feeds BOTH
+    # the keeper aggregation and the probe side of their join — without
+    # the checkpoint Catalyst executes the normalize+md5 scan twice
+    fp = fingerprint(docs, id_col, text_col).localCheckpoint(eager=True)
     keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper"))
     ex = fp.join(keepers, "fingerprint").select(
         "doc_id",

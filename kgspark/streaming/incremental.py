@@ -52,7 +52,17 @@ def incremental_extract(
         facts = extract_facts(
             batch_df.select("url", "warc_ts", "html", "text", "lang")
         ).withColumn("bucket", bucket_col(F.col("url"), n_buckets))
-        facts.write.mode("append").partitionBy("bucket").parquet(f"{out_dir}/facts")
+        # batch-keyed dynamic overwrite, NOT append: offsets commit only
+        # after this function returns, so a crash in between replays the
+        # batch — an append would duplicate its rows, a rewrite of the
+        # same batch=<id> partitions is a no-op
+        (
+            facts.withColumn("batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", "bucket")
+            .parquet(f"{out_dir}/facts")
+        )
         manifests.record_buckets(
             out_dir,
             "stream_extract",
@@ -94,17 +104,24 @@ def streaming_exact_dedup(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     # content key: pre-extracted text when present, else the raw html
-    # bytes (only if the frame has that column), else the id itself
-    # (never a shared null/'' bucket)
-    parts = [F.nullif(F.col(text_col), F.lit(""))]
-    if html_col and html_col in pages.columns:
-        parts.append(F.col(html_col).cast("string"))
-    parts.append(F.col(id_col))
-    content = F.coalesce(*parts)
+    # bytes (only if the frame has that column), else the id itself —
+    # never a shared null/'' bucket. Emptiness is checked on the
+    # NORMALIZED value: a whitespace-only text (or empty-string html)
+    # normalizes to '' and must fall through to the next candidate, not
+    # collapse every such page into one md5('') bucket.
     from kgspark.operators.dedup import normalize_text_col
 
+    def norm_fp(col):
+        return F.md5(
+            F.nullif(normalize_text_col(col), F.lit("")).cast("binary")
+        )
+
+    parts = [norm_fp(F.col(text_col))]
+    if html_col and html_col in pages.columns:
+        parts.append(norm_fp(F.col(html_col).cast("string")))
+    parts.append(F.concat(F.lit("doc#"), F.col(id_col).cast("string")))
     src = pages.select(
-        F.md5(normalize_text_col(content).cast("binary")).alias("fingerprint"),
+        F.coalesce(*parts).alias("fingerprint"),
         F.col(id_col).alias("doc_ref"),
     )
 
@@ -207,7 +224,16 @@ def incremental_host_counts(
     batches = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(f"{out_dir}/host_counts")
+        # batch-keyed dynamic overwrite: replaying a crashed batch
+        # rewrites its own partition instead of appending a duplicate
+        # copy of its finalized windows
+        (
+            batch_df.withColumn("batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(f"{out_dir}/host_counts")
+        )
         batches["n"] += 1
 
     q = (
@@ -238,7 +264,15 @@ def incremental_dedup(
     batches = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(f"{out_dir}/keep")
+        # batch-keyed dynamic overwrite — replay-idempotent (see
+        # incremental_extract's sink)
+        (
+            batch_df.withColumn("batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(f"{out_dir}/keep")
+        )
         batches["n"] += 1
 
     q = (

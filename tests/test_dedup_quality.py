@@ -223,3 +223,45 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     r3 = len(exact & p3) / len(exact)
     assert r3 >= r1
     assert r3 > 0.5, (r1, r3)
+
+
+def test_null_and_blank_text_docs_are_not_mutual_duplicates(spark):
+    """Absent-content pages (NULL or whitespace-only text) must each
+    keep their own sentinel fingerprint, never collapse into one
+    duplicate group."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "   "), (4, "real content"), (5, "real content")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.dup_count for r in dedup.exact_dedup(docs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 2}
+
+
+def test_zero_norm_embedding_never_matches(spark):
+    """An all-zero vector has undefined cosine — it must not appear as
+    anyone's near-duplicate or top-1 neighbor (NaN would outrank
+    everything under Spark's NaN-greatest ordering)."""
+    from pyspark.sql import functions as F
+
+    from kgspark.operators import similarity
+
+    rows = [
+        (0, [0.0] * 8),
+        (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.cosine_neardup_pairs_lsh(
+        vecs, threshold=0.9, dim=8
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    topk = similarity.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 1), k=2)
+    got = [(r.neighbor_id, r.rank) for r in topk.collect()]
+    assert got == [(2, 1)]  # the zero vector never ranks
+
+
+def test_empty_vector_table_yields_empty_pairs(spark):
+    from kgspark.operators import similarity
+
+    vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.cosine_neardup_pairs_lsh(vecs, threshold=0.9).count() == 0
