@@ -1190,7 +1190,7 @@ def gazetteer_mentions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_enrich",
     """
 SELECT doc_id AS original_id,
-       doc_id::VARCHAR || '_' || source AS id,
+       doc_id::VARCHAR || '_' || coalesce(source, 'unknown') AS id,
        source AS source_document,
        coalesce(nullif(trim(regexp_extract(trunc, '^((?:[^.!?]*[.!?]+\\s*){1,2})', 1)), ''), trunc) AS summary
 FROM (
@@ -1211,7 +1211,9 @@ def doc_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         F.col("doc_id").alias("original_id"),
-        F.concat_ws("_", F.col("doc_id"), F.col("source")).alias("id"),
+        F.concat_ws(
+            "_", F.col("doc_id"), F.coalesce(F.col("source"), F.lit("unknown"))
+        ).alias("id"),
         F.col("source").alias("source_document"),
         extractive_summary_col(F.col("text")).alias("summary"),
     )

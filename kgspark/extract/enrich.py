@@ -49,9 +49,16 @@ def suffix_ids(
 ) -> DataFrame:
     """B9/H2: ``id → f"{id}_{source}"`` keeping ``original_id``; a pure
     function of (id, source), so edge endpoints remap with the same
-    expression — no join (graph_transformers.py:107-169)."""
+    expression — no join (graph_transformers.py:107-169). A NULL source
+    suffixes as 'unknown' (the reference's default for missing
+    metadata) — concat_ws alone would skip the NULL and leave the raw
+    id, re-creating exactly the cross-document collisions suffixing
+    exists to prevent."""
     return nodes.withColumn("original_id", F.col(id_col)).withColumn(
-        id_col, F.concat_ws("_", F.col(id_col), F.col(source_col))
+        id_col,
+        F.concat_ws(
+            "_", F.col(id_col), F.coalesce(F.col(source_col), F.lit("unknown"))
+        ),
     )
 
 
@@ -73,13 +80,22 @@ def with_document_summaries(
 
 def extract_answer_col(text: Column) -> Column:
     """B11: answer-extraction regex cascade
-    (kg_rag/methods/cypher_based/kg_rag.py:185-212) — first match of
-    'answer is X' / 'answer: X', else the first number, else null."""
-    pat_phrase = r"(?i)answer\s+is\s+([^\s.,;]+)"
-    pat_colon = r"(?i)answer:\s*([^\s.,;]+)"
-    pat_number = r"(-?\d+(?:\.\d+)?)"
+    (kg_rag/methods/cypher_based/kg_rag.py:185-212), merged into one
+    deterministic tier order: the reference's numeric patterns first
+    (signed decimals INCLUDED — '[^\\s.,;]+' alone would truncate
+    'answer is 3.5' to '3'), then the general word-answer tiers, then
+    the reference's bare-number fallback; null instead of echoing the
+    whole text (the one deliberate divergence — an unextractable
+    answer should be visibly absent, not silently the input)."""
+    tiers = [
+        r"(?i)answer\s*(?:is|:)\s*(-?\d+(?:\.\d+)?)",
+        r"(?i)(-?\d+(?:\.\d+)?)\s*%",
+        r"(?i)(-?\d+(?:\.\d+)?)\s*(?:million|billion|dollars|USD)",
+        r"(?i)(?:value|amount|total)\s*(?:of|is|:)\s*(-?\d+(?:\.\d+)?)",
+        r"(?i)answer\s+is\s+([^\s.,;]+)",
+        r"(?i)answer:\s*([^\s.,;]+)",
+        r"(-?\d+(?:\.\d+)?)",
+    ]
     return F.coalesce(
-        F.nullif(F.regexp_extract(text, pat_phrase, 1), F.lit("")),
-        F.nullif(F.regexp_extract(text, pat_colon, 1), F.lit("")),
-        F.nullif(F.regexp_extract(text, pat_number, 1), F.lit("")),
+        *[F.nullif(F.regexp_extract(text, p, 1), F.lit("")) for p in tiers]
     )

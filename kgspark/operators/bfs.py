@@ -63,9 +63,14 @@ def k_hop_subgraph(
     src: str = "src",
     dst: str = "dst",
     rel: str | None = "rel",
+    directed: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """(nodes, induced edges) of the capped k-hop neighborhood."""
-    nodes = k_hop_nodes(edges, start_node, max_depth, max_nodes, src, dst)
+    """(nodes, induced edges) of the capped k-hop neighborhood; pass
+    ``directed=False`` for the undirected frontier (same flag as
+    ``k_hop_nodes`` — previously unreachable through this API)."""
+    nodes = k_hop_nodes(
+        edges, start_node, max_depth, max_nodes, src, dst, directed=directed
+    )
     keep = nodes.select("node")
     sub_edges = (
         edges.join(keep.withColumnRenamed("node", src), src)

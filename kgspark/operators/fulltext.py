@@ -39,13 +39,19 @@ def build_inverted_index(
     )
 
 
-def score_candidates(inverted: DataFrame, query: str) -> DataFrame:
-    """(id, name, score) for entities sharing ≥1 token with the query."""
+def query_tokens(query: str) -> list[str]:
+    """Tokenize a query with the shared spec; a non-empty placeholder
+    when the query has no tokens (isin([]) would be always-false with a
+    different plan shape)."""
     import re
 
     qtokens = [t for t in re.split(TOKEN_SPLIT, query.lower()) if t]
-    if not qtokens:
-        qtokens = ["\x00-no-token-\x00"]
+    return qtokens or ["\x00-no-token-\x00"]
+
+
+def score_candidates(inverted: DataFrame, query: str) -> DataFrame:
+    """(id, name, score) for entities sharing ≥1 token with the query."""
+    qtokens = query_tokens(query)
     return (
         inverted.filter(F.col("token").isin(qtokens))
         .groupBy("id", "name")
@@ -104,21 +110,13 @@ def score_candidates_idf(
     overlap remains the default scorer because it is the oracle-pinned
     spec (fulltext_top1).
     """
-    import re
-
-    qtokens = [t for t in re.split(TOKEN_SPLIT, query.lower()) if t]
-    if not qtokens:
-        qtokens = ["\x00-no-token-\x00"]
+    qtokens = query_tokens(query)
     if n_entities is None:
         n_entities = inverted.select("id").distinct().count()
-    df_tbl = (
-        inverted.filter(F.col("token").isin(qtokens))
-        .groupBy("token")
-        .agg(F.countDistinct("id").alias("df"))
-    )
+    matched = inverted.filter(F.col("token").isin(qtokens))
+    df_tbl = matched.groupBy("token").agg(F.countDistinct("id").alias("df"))
     return (
-        inverted.filter(F.col("token").isin(qtokens))
-        .join(F.broadcast(df_tbl), "token")
+        matched.join(F.broadcast(df_tbl), "token")
         .groupBy("id", "name")
         .agg(
             F.sum(F.log1p(F.lit(float(n_entities)) / F.col("df"))).alias("score")

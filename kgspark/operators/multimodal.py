@@ -106,7 +106,16 @@ def decode_and_featurize(
     )
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for rb in batches:
+        # re-slice to at most batch_hint rows: Arrow's maxRecordsPerBatch
+        # (default 10k) sizes batches by ROW count, but media rows carry
+        # multi-MB payloads — the hint bounds peak per-batch memory in
+        # this worker regardless of the session-wide Arrow setting
+        def sliced():
+            for rb0 in batches:
+                for off in range(0, rb0.num_rows, batch_hint):
+                    yield rb0.slice(off, batch_hint)
+
+        for rb in sliced():
             ids = rb.column(rb.schema.get_field_index("media_id")).to_pylist()
             kinds = rb.column(rb.schema.get_field_index("kind")).to_pylist()
             payload_col = rb.column(rb.schema.get_field_index("payload"))
@@ -159,7 +168,12 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per sampled timestamp
     (sequence + explode on metadata; decode of the actual frames is the
     stubbed UDF's job)."""
-    vids = media.filter(F.col("kind") == "video")
+    # duration must be strictly positive: sequence(0, -1) on a
+    # zero-duration (or NULL-duration) video row is an illegal range
+    # that aborts the whole job — such rows simply have no frames
+    vids = media.filter(
+        (F.col("kind") == "video") & (F.col("duration_ms") > 0)
+    )
     stamps = F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
     return vids.select(
         "media_id", F.explode(stamps).alias("frame_ts_ms")

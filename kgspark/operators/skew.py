@@ -46,8 +46,17 @@ def salted_collect_set(
 
 
 def salted_repartition(df: DataFrame, key: str, salt_buckets: int, n_partitions: int) -> DataFrame:
-    """Spread a skewed key across ``salt_buckets`` partitions per key —
-    the write-layout salting the pipeline uses for (pred, subj)."""
-    return df.repartition(
-        n_partitions, F.col(key), F.pmod(F.xxhash64(F.col(key)), F.lit(salt_buckets))
+    """Spread a skewed key across ``salt_buckets`` partitions per key.
+
+    The salt MUST vary within a key: hashing the key itself would make
+    the salt a constant per key and leave every hot-key row on one
+    reducer (the bug this function originally shipped with). It is
+    derived from the full row content — deterministic, and rows of one
+    hot key fan out across ``salt_buckets`` distinct shuffle keys. The
+    pipeline's own (pred, subj)-salted write achieves the same effect
+    by salting on the orthogonal subj column.
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)
     )
+    return df.repartition(n_partitions, F.col(key), salt)

@@ -57,8 +57,13 @@ def graph_statistics(
         "max_degree": max_deg_row["mx"] or 0,
     }
     if with_components:
+        # auto variant: a generic stats operator has no diameter
+        # knowledge, and plain hash-min raises past 50 rounds on long
+        # chains; star/driver dispatch handles any shape
+        from kgspark.operators.cc import connected_components_auto
+
         comp = (
-            connected_components(all_nodes, edges, "id")
+            connected_components_auto(all_nodes, edges, "id")
             .groupBy("component")
             .agg(F.count("*").alias("size"))
             .agg(F.count("*").alias("n"), F.max("size").alias("mx"))

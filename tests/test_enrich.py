@@ -57,7 +57,11 @@ def test_answer_extraction_cascade(spark):
         (2, "answer: blue"),
         (3, "value was 3.14 approximately"),
         (4, "nothing here"),
+        (5, "The answer is 3.5 million"),
+        (6, "Answer: -12.75"),
+        (7, "roughly 42% of cases"),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     got = {r.id: r.a for r in df.select("id", extract_answer_col(F.col("text")).alias("a")).collect()}
-    assert got == {1: "42", 2: "blue", 3: "3.14", 4: None}
+    assert got == {1: "42", 2: "blue", 3: "3.14", 4: None,
+                   5: "3.5", 6: "-12.75", 7: "42"}

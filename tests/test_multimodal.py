@@ -69,3 +69,16 @@ def test_frame_sampling(media):
 def test_media_stats(media):
     got = {r.kind: r.n for r in mm.media_stats(media).collect()}
     assert got == {"image": 20, "audio": 20, "video": 20}
+
+
+def test_frame_sample_skips_zero_duration_video(spark):
+    """A zero/NULL-duration video row must yield no frames, not an
+    illegal-sequence crash of the whole job."""
+    from kgspark.operators.multimodal import frame_sample_plan
+
+    media = spark.createDataFrame(
+        [(1, "video", 2500), (2, "video", 0), (3, "video", None), (4, "image", 0)],
+        "media_id long, kind string, duration_ms int",
+    )
+    got = {(r.media_id, r.frame_ts_ms) for r in frame_sample_plan(media).collect()}
+    assert got == {(1, 0), (1, 1000), (1, 2000)}
