@@ -117,6 +117,16 @@ def generate_corpus(
 ) -> Corpus:
     rng = random.Random(seed)
 
+    # fail fast instead of spinning forever when the requested count
+    # exceeds the finite first×last name pools
+    pool_p = len(FIRST_NAMES) * len(LAST_NAMES)
+    pool_t = len(PATIENT_FIRST) * len(PATIENT_LAST)
+    if n_providers > pool_p or n_providers * 3 > pool_t:
+        raise ValueError(
+            f"n_providers={n_providers} needs {n_providers} provider and "
+            f"{n_providers * 3} patient names but the pools hold only "
+            f"{pool_p} and {pool_t} unique combinations"
+        )
     providers = []
     seen = set()
     while len(providers) < n_providers:
@@ -251,7 +261,11 @@ def corpus_to_spark(spark, corpus: Corpus):
 
 
 def write_corpus(spark, corpus: Corpus, out_dir: str) -> None:
+    """Write the corpus in the layout ``tools/submit_job.py pipeline
+    --src`` reads back ({src}/webpages, {src}/aliases,
+    {src}/canonicals) — the directory names, not '.parquet'-suffixed
+    ones, so the documented spark-submit flow works end-to-end."""
     pages, aliases, canonicals = corpus_to_spark(spark, corpus)
-    pages.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/webpages.parquet")
-    aliases.write.mode("overwrite").parquet(f"{out_dir}/aliases.parquet")
-    canonicals.write.mode("overwrite").parquet(f"{out_dir}/canonicals.parquet")
+    pages.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/webpages")
+    aliases.write.mode("overwrite").parquet(f"{out_dir}/aliases")
+    canonicals.write.mode("overwrite").parquet(f"{out_dir}/canonicals")

@@ -21,7 +21,11 @@ from __future__ import annotations
 import re
 
 _DROP_ELEMENTS = re.compile(
-    r"<(script|style|nav|header|footer)\b[^>]*>.*?</\1\s*>",
+    # '\Z' alternative: an UNCLOSED script/style/nav/... swallows to end
+    # of document instead of leaking its raw contents (JS/CSS) into the
+    # extracted text; same-tag nesting stays best-effort (regex, not a
+    # parser — stray close tags are removed by the generic tag strip)
+    r"<(script|style|nav|header|footer)\b[^>]*>.*?(?:</\1\s*>|\Z)",
     re.IGNORECASE | re.DOTALL,
 )
 _COMMENTS = re.compile(r"<!--.*?-->", re.DOTALL)

@@ -116,7 +116,10 @@ def multi_or_raw_col(raw: Column) -> Column:
     empty cell → []; non-empty cell whose parts all trim away → [raw]."""
     parts = split_parts_col(raw)
     return (
-        F.when(raw == F.lit(""), F.array().cast("array<string>"))
+        # NULL counts as empty (golden: multi_or_raw(None) == []) — a
+        # bare equality check would NULL-propagate past this branch and
+        # fall through to [NULL], a spurious part
+        F.when(raw.isNull() | (raw == F.lit("")), F.array().cast("array<string>"))
         .when(F.size(parts) > 0, parts)
         .otherwise(F.array(raw))
     )

@@ -226,7 +226,10 @@ def _ttl_tokens(text: str) -> list[str]:
         ch = text[i]
         if ch in " \t\r\n":
             i += 1
-        elif ch == "#" and (not tokens or tokens[-1] in ".;,"):
+        elif ch == "#":
+            # always a comment at a token start (Turtle comments may
+            # follow ANY token, not just statement terminators; IRIs
+            # with '#' are inside '<>' and never reach this branch)
             while i < n and text[i] != "\n":
                 i += 1
         elif ch == "<":
@@ -367,6 +370,8 @@ def read_turtle(path: str) -> set[Triple]:
 
 
 def precision_recall(produced: set[Triple], expected: set[Triple]) -> tuple[float, float]:
+    if not produced and not expected:
+        return (1.0, 1.0)  # empty vs empty is exact agreement
     if not produced or not expected:
         return (0.0, 0.0)
     inter = len(produced & expected)

@@ -108,11 +108,13 @@ def providers_at_location(nodes: DataFrame, edges: DataFrame, location_query: st
     )
 
 
-def patients_of_provider_at_location(
-    nodes: DataFrame, edges: DataFrame, provider_query: str, location_query: str, limit: int = 25
+def _two_anchor_hp(
+    nodes: DataFrame, edges: DataFrame, provider_query: str, location_query: str
 ) -> DataFrame:
-    """Cypher example 4 (cypher_generator.py:64-81): two anchors +
-    conjunctive 2-hop match, two-key ORDER BY, LIMIT 25."""
+    """Shared two-anchor core of Cypher examples 4 and 5: the anchored
+    provider LOCATED_AT the anchored location, as one frame
+    (anchor_id, anchor_name, anchor_score, matched_location). One
+    definition so the two consumers cannot drift."""
     from kgspark.constants import CLS_LOCATION
 
     prov = _anchor(nodes, CLS_PROVIDER, provider_query)
@@ -120,15 +122,23 @@ def patients_of_provider_at_location(
         F.col("anchor_id").alias("loc_id"), F.col("anchor_name").alias("matched_location")
     )
     located = edges.filter(F.col("rel") == P_LOCATED_AT)
-    treats = edges.filter(F.col("rel") == P_TREATS)
-
-    hp_at = located.join(prov, located.src == F.col("anchor_id")).join(
-        loc_anchor, located.dst == F.col("loc_id")
+    return (
+        located.join(prov, located.src == F.col("anchor_id"))
+        .join(loc_anchor, located.dst == F.col("loc_id"))
+        .select("anchor_id", "anchor_name", "anchor_score", "matched_location")
     )
+
+
+def patients_of_provider_at_location(
+    nodes: DataFrame, edges: DataFrame, provider_query: str, location_query: str, limit: int = 25
+) -> DataFrame:
+    """Cypher example 4 (cypher_generator.py:64-81): two anchors +
+    conjunctive 2-hop match, two-key ORDER BY, LIMIT 25."""
+    hp_at = _two_anchor_hp(nodes, edges, provider_query, location_query)
+    treats = edges.filter(F.col("rel") == P_TREATS)
     n2 = nodes.select(F.col("id").alias("nid"), F.col("name").alias("nname"))
     return (
-        treats.join(hp_at.select("anchor_id", "anchor_name", "anchor_score", "matched_location"),
-                    treats.src == F.col("anchor_id"))
+        treats.join(hp_at, treats.src == F.col("anchor_id"))
         .join(n2, treats.dst == F.col("nid"))
         .select(
             F.col("nid").alias("patient_id"),
@@ -148,23 +158,13 @@ def provider_patient_aggregates(
     """Cypher example 5 (cypher_generator.py:83-98): count(DISTINCT p),
     round(avg(age), 1) for the anchored provider at the anchored
     location — age coerced numerically at query time."""
-    from kgspark.constants import CLS_LOCATION
-
-    prov = _anchor(nodes, CLS_PROVIDER, provider_query)
-    loc_anchor = _anchor(nodes, CLS_LOCATION, location_query).select(
-        F.col("anchor_id").alias("loc_id"), F.col("anchor_name").alias("matched_location")
-    )
-    located = edges.filter(F.col("rel") == P_LOCATED_AT)
+    hp_at = _two_anchor_hp(nodes, edges, provider_query, location_query)
     treats = edges.filter(F.col("rel") == P_TREATS)
-
-    hp_at = located.join(prov, located.src == F.col("anchor_id")).join(
-        loc_anchor, located.dst == F.col("loc_id")
-    )
     n2 = nodes.select(
         F.col("id").alias("nid"), F.col("age").alias("nage")
     )
     return (
-        treats.join(hp_at.select("anchor_id", "anchor_name", "matched_location"),
+        treats.join(hp_at.drop("anchor_score"),
                     treats.src == F.col("anchor_id"))
         .join(n2, treats.dst == F.col("nid"))
         .groupBy(
@@ -234,6 +234,11 @@ def sparql_q3(triples: DataFrame, min_age: int = 65, condition: str = "asthma") 
         patients.join(names, "p")
         .join(ages, "p")
         .join(conds, "p")
-        .filter((F.col("age").try_cast("int") >= min_age) & (F.lower(F.col("c")) == condition))
+        .filter(
+            (F.col("age").try_cast("int") >= min_age)
+            # lower both sides: the column is lower()-normalized, so a
+            # naturally-cased argument ("Asthma") must still match
+            & (F.lower(F.col("c")) == condition.lower())
+        )
         .select("pName", "age", "c")
     )
