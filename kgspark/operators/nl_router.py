@@ -119,3 +119,48 @@ def oracle_case_sql(qexpr: str) -> str:
     return (
         f"{shape} AS shape, {provider} AS provider_q, {location} AS location_q"
     )
+
+
+# Shape id → executor over the materialized (nodes, edges) graph.
+# Closes the reference's ask-a-question loop (kg_rag.py run_cypher_rag)
+# without the LLM: route_question() classifies + extracts anchors, the
+# matched shape runs as its DataFrame plan.
+
+def route_and_execute(
+    nodes: DataFrame, edges: DataFrame, question: str
+) -> DataFrame:
+    """Answer a natural-language question against the KG: route it to
+    one of the five implemented query shapes and execute that shape
+    with the extracted anchors. Raises ValueError for questions no
+    shape covers (the reference would fall back to the LLM here).
+
+    Routing itself is the same pure-expression logic as
+    ``route_questions`` — this convenience evaluates it driver-side for
+    a single question; batch workloads should route the whole question
+    table distributed and dispatch per shape partition.
+    """
+    from kgspark.operators import kg_queries as kq
+
+    spark = nodes.sparkSession
+    row = route_questions(
+        spark.createDataFrame([(question,)], ["question"])
+    ).first()
+    shape, provider_q, location_q = row.shape, row.provider_q, row.location_q
+    if shape == "shape1":
+        return kq.patients_of_provider(nodes, edges, provider_q)
+    if shape == "shape2":
+        return kq.specializations_of_provider(nodes, edges, provider_q)
+    if shape == "shape3":
+        return kq.providers_at_location(nodes, edges, location_q)
+    if shape == "shape4":
+        return kq.patients_of_provider_at_location(
+            nodes, edges, provider_q, location_q
+        )
+    if shape == "shape5":
+        return kq.provider_patient_aggregates(
+            nodes, edges, provider_q, location_q
+        )
+    raise ValueError(
+        f"no deterministic shape covers {question!r} (routed {shape}); "
+        "the reference delegates such questions to its LLM generator"
+    )

@@ -42,3 +42,44 @@ def test_lowercase_in_phrase_is_not_a_location(spark):
     got = _route_all(spark, [q])
     assert got[q][0] == "shape1"
     assert got[q][2] is None
+
+
+def test_route_and_execute_answers_canonical_questions(spark):
+    """End-to-end NL loop on the reference-CSV graph: each canonical
+    question routes to its shape and returns exactly what calling the
+    shape directly returns."""
+    from kgspark.operators import kg_queries as kq
+    from kgspark.operators.graph_build import (
+        edges_from_triples,
+        nodes_from_triples,
+    )
+    from kgspark.operators.rdf_build import build_triples
+    from kgspark.sources.csv_source import read_fact_csv
+
+    triples = build_triples(
+        read_fact_csv(spark, "/root/reference/data/healthcare.csv")
+    ).localCheckpoint(eager=True)
+    nodes = nodes_from_triples(triples).localCheckpoint(eager=True)
+    edges = edges_from_triples(triples).localCheckpoint(eager=True)
+
+    got = nl_router.route_and_execute(
+        nodes, edges, "Which patients are treated by Dr. Jessica Lee?"
+    )
+    want = kq.patients_of_provider(nodes, edges, "Dr. Jessica Lee")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+    agg = nl_router.route_and_execute(
+        nodes, edges,
+        "For Dr. John Smith in Los Angeles, what is the total number of"
+        " patients he treats and what is their average age?",
+    )
+    want_agg = kq.provider_patient_aggregates(
+        nodes, edges, "Dr. John Smith", "Los Angeles"
+    )
+    assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, want_agg.collect()))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no deterministic shape"):
+        nl_router.route_and_execute(nodes, edges, "What is the meaning of life?")
