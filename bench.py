@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import statistics
 import sys
@@ -89,7 +90,11 @@ def bench_pipeline(spark, n_pages: int, out_dir: str, replicate: int = 1) -> dic
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    # parse the scale factor from a trailing 'sf<number>' path component;
+    # any other path shape (or 'sf' mid-word, e.g. /data/transfer) falls
+    # back to the default instead of crashing float()
+    m = re.search(r"sf(\d+(?:\.\d+)?)/*$", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
 
     from kgspark.entrypoints import QUERIES
     from kgspark.session import get_spark

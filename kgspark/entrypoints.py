@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgspark.constants import BASE, RDF_TYPE
-from kgspark.functions.hashing import hword_sql, tokens_sql
+from kgspark.functions.hashing import tokens_sql
 from kgspark.functions.textfns import mint_uri_col, multi_or_raw_col, slugify_udf
 from kgspark.operators import dedup, relational_kg, similarity, textops
 from kgspark.operators.bfs import k_hop_nodes
@@ -66,9 +66,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def slug_sql(expr: str) -> str:
+    # [^\p{L}\p{N}_] (RE2 Unicode letter/number classes), not ASCII
+    # [^0-9A-Za-z_]: the Spark side (slugify_udf) uses Python's
+    # Unicode-aware \w, so an ASCII oracle class would silently diverge
+    # on any non-ASCII entity name ('Café' → 'Café' vs 'Caf_'). The
+    # driver tables are ASCII today — this keeps the mirror honest if
+    # they ever aren't.
     inner = (
         "trim(regexp_replace(regexp_replace(regexp_replace("
-        f"trim({expr}), '\\s+', '_', 'g'), '[^0-9A-Za-z_]', '_', 'g'),"
+        f"trim({expr}), '\\s+', '_', 'g'), '[^\\p{{L}}\\p{{N}}_]', '_', 'g'),"
         " '_+', '_', 'g'), '_')"
     )
     return f"coalesce(nullif({inner}, ''), 'unnamed')"
@@ -665,21 +671,10 @@ def graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data ops: dedup / similarity / text analysis
 # --------------------------------------------------------------------------
 
-def shingles_sql(text_expr: str, n: int) -> str:
-    """DuckDB mirror of operators/dedup.word_shingles_col."""
-    toks = tokens_sql(text_expr)
-    if n == 1:
-        return f"list_distinct({toks})"
-    terms = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
-    return (
-        f"(SELECT CASE WHEN len(t) >= {n} THEN "
-        f"list_distinct(list_transform(range(1, len(t) - {n - 2}), i -> {terms})) "
-        f"ELSE [] END FROM (SELECT {toks} AS t))"
-    )
-
-
-
 def _minhash_word_sql(j: int) -> str:
+    # mirror of hashing.hword_col's block/word scheme, kept in the
+    # min-over-hex-substring form (conversion runs once per GROUP, not
+    # per shingle — fixed-width hex min == numeric min)
     block, word = divmod(j, 4)
     return (
         f"('0x' || min(substr(md5('{block}|' || shingle), {1 + 8 * word}, 8)))::BIGINT"

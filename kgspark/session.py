@@ -48,7 +48,8 @@ def get_spark(
         if master is None:
             shuffle_partitions = 200
         elif master.startswith("local["):
-            inner = master[len("local[") : -1]
+            # local[N] or local[N,maxFailures] — only N sizes shuffles
+            inner = master[len("local[") : -1].split(",")[0]
             shuffle_partitions = 32 if inner == "*" else int(inner)
         else:
             shuffle_partitions = 200

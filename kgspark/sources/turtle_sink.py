@@ -32,8 +32,15 @@ def triple_to_turtle_line(subj, pred, obj, obj_kind, obj_dtype, obj_lang) -> str
 
 
 def write_turtle(triples: DataFrame, path: str, max_rows: int = 1_000_000) -> int:
-    """Collect (bounded), sort, write one .ttl file. Returns row count."""
-    rows = triples.limit(max_rows).collect()
+    """Collect (bounded), sort, write one .ttl file. Returns row count.
+
+    Truncation over ``max_rows`` keeps the lexicographically-first
+    triples: a bare limit() would take an arbitrary partition-dependent
+    subset, making two writes of the same graph diverge. Debug sink —
+    a real export writes distributed, not through the driver.
+    """
+    cols = ["subj", "pred", "obj", "obj_kind", "obj_dtype", "obj_lang"]
+    rows = triples.orderBy(*cols).limit(max_rows).collect()
     lines = sorted(
         triple_to_turtle_line(r.subj, r.pred, r.obj, r.obj_kind, r.obj_dtype, r.obj_lang)
         for r in rows

@@ -185,6 +185,11 @@ def main() -> None:
                         "pipeline", "--src", src, "--out", out,
                         "--snapshot", f"scal-{cpus}-{attempt}",
                         "--n-buckets", "64", "--master-hint", f"local[{cpus}]",
+                        # fixed across legs: task-slot count must be the
+                        # ONLY variable; without this the session derives
+                        # shuffle partitions from local[N] and the legs
+                        # run different shuffle parallelism
+                        "--shuffle-partitions", "64",
                     ]
                     env = dict(os.environ, PYTHONPATH="")
                 else:  # plain-python fallback (no spark-submit on PATH)

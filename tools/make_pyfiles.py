@@ -19,7 +19,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def build(out_zip: str | None = None) -> str:
     out_zip = out_zip or os.path.join(REPO, "dist", "kgspark.zip")
-    os.makedirs(os.path.dirname(out_zip), exist_ok=True)
+    # dirname is '' for a bare filename — makedirs('') would raise
+    os.makedirs(os.path.dirname(out_zip) or ".", exist_ok=True)
     entries = []
     pkg_root = os.path.join(REPO, "kgspark")
     for dirpath, dirnames, filenames in os.walk(pkg_root):

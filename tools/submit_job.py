@@ -51,16 +51,28 @@ def main() -> None:
         "flag is respected automatically, so this is only needed when "
         "running as plain python (no gateway)",
     )
+    p.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=None,
+        help="pin spark.sql.shuffle.partitions (the scaling bench fixes "
+        "this across legs so parallelism is the ONLY controlled variable)",
+    )
     q = sub.add_parser("query")
     q.add_argument("name", help="query name from the engine registry")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--show", type=int, default=5)
     q.add_argument("--master-hint", default=None)
+    q.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
 
     from kgspark.session import get_spark
 
-    spark = get_spark("kgspark-submit", master=args.master_hint)
+    spark = get_spark(
+        "kgspark-submit",
+        master=args.master_hint,
+        shuffle_partitions=args.shuffle_partitions,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.cmd == "query":
