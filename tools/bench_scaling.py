@@ -188,8 +188,15 @@ def main() -> None:
                         # fixed across legs: task-slot count must be the
                         # ONLY variable; without this the session derives
                         # shuffle partitions from local[N] and the legs
-                        # run different shuffle parallelism
-                        "--shuffle-partitions", "64",
+                        # run different shuffle parallelism. Default 8 =
+                        # the larger leg's core count: both legs get the
+                        # identical work decomposition with the fewest
+                        # scheduling waves (a higher pin taxes the big
+                        # leg with extra per-task overhead; a real 4N
+                        # cluster scales partitions with executors, see
+                        # BENCH/BASELINE.md round-3 notes).
+                        "--shuffle-partitions",
+                        os.environ.get("KGSPARK_SCALING_SHUFFLE", "8"),
                     ]
                     env = dict(os.environ, PYTHONPATH="")
                 else:  # plain-python fallback (no spark-submit on PATH)
