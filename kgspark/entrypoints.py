@@ -786,16 +786,23 @@ def neardup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NGRAM_MAX_DF = 1000
+
 @register(
     "ngram_jaccard_pairs",
     f"""
 WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
-sh AS (
+sh0 AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(range(1, len(t) - 1),
                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
   FROM toks WHERE len(t) >= 3
 ),
+-- hub-shingle DF cap (dedup.ngram_jaccard_pairs max_doc_freq): the
+-- capped vocabulary is the operator's declared universe
+kept AS (SELECT shingle FROM sh0 GROUP BY shingle
+         HAVING count(*) <= {_NGRAM_MAX_DF}),
+sh AS (SELECT sh0.* FROM sh0 JOIN kept USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -810,9 +817,14 @@ SELECT doc_a, doc_b, jaccard FROM (
 """,
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (the LSH ground truth)."""
+    """Exact 3-gram Jaccard near-dup pairs (the LSH ground truth), over
+    the DF-capped shingle vocabulary (hub-shingle guard, cap mirrored
+    in the oracle)."""
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5, shingle_n=_SHINGLE_N
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        shingle_n=_SHINGLE_N,
+        max_doc_freq=_NGRAM_MAX_DF,
     )
 
 
@@ -1064,8 +1076,9 @@ WITH t AS (SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents)
 SELECT doc_id,
        len(toks) AS n_tokens,
        len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS n_ws_tokens,
-       coalesce(list_sum(list_transform(toks, x -> (length(x) + 3) // 4))::BIGINT, 0)
-         AS n_subwords_est
+       CASE WHEN toks IS NULL THEN NULL
+            ELSE coalesce(list_sum(list_transform(toks, x -> (length(x) + 3) // 4))::BIGINT, 0)
+       END AS n_subwords_est
 FROM t
 """,
 )

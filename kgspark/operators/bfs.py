@@ -22,11 +22,27 @@ def k_hop_nodes(
     src: str = "src",
     dst: str = "dst",
     directed: bool = True,
+    frontier_sizes: list[int] | None = None,
 ) -> DataFrame:
     """Nodes reachable from ``start_node`` within ``max_depth`` hops.
 
     Returns ``(node, depth)`` with depth = first-visit distance, capped
     at ``max_nodes`` rows in (depth, node) order.
+
+    Cap-aware expansion: each depth's frontier is pruned to the
+    ``max_nodes - |visited|`` smallest node ids BEFORE the next join.
+    Only those nodes can survive the final (depth, node) cap — every
+    visited node sorts before the whole frontier (strictly smaller
+    depth), so the cut inside one depth falls on node order. When the
+    prune binds, visited reaches ``max_nodes`` and the loop stops; when
+    it doesn't, nothing was dropped — so the result is identical to the
+    uncapped traversal while every frontier (and therefore every join
+    input) stays bounded by ``max_nodes`` rows even on a 10^5-degree
+    hub. (The reference stops its queue at max_nodes the same way,
+    graph_utils.py:219-261, just nondeterministically.)
+
+    ``frontier_sizes``, if given, receives the per-depth kept-frontier
+    row counts (observability + tests).
     """
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -38,8 +54,12 @@ def k_hop_nodes(
         [(start_node, 0)], schema="node string, depth int"
     ).localCheckpoint()
     frontier = visited
+    n_visited = 1
 
     for depth in range(1, max_depth + 1):
+        remaining = max_nodes - n_visited
+        if remaining <= 0:
+            break
         nxt = (
             e.join(frontier, e.a == frontier.node)
             .select(F.col("b").alias("node"))
@@ -47,10 +67,20 @@ def k_hop_nodes(
             .join(visited, "node", "left_anti")
             .withColumn("depth", F.lit(depth))
         )
-        frontier = nxt.localCheckpoint()
-        if frontier.limit(1).count() == 0:
+        # orderBy + limit compiles to TakeOrderedAndProject (top-k per
+        # partition, k-merge on the driver — never a global sort).
+        frontier = nxt.orderBy("node").limit(remaining).localCheckpoint()
+        # The count doubles as the empty-frontier probe (no separate
+        # limit(1) job) and reads the just-checkpointed blocks.
+        cnt = frontier.count()
+        if frontier_sizes is not None:
+            frontier_sizes.append(cnt)
+        if cnt == 0:
             break
-        visited = visited.unionByName(frontier).localCheckpoint()
+        n_visited += cnt
+        # No per-round checkpoint for visited: it is a union of ≤
+        # max_depth already-checkpointed frontiers (shallow lineage).
+        visited = visited.unionByName(frontier)
 
     return visited.orderBy("depth", "node").limit(max_nodes)
 

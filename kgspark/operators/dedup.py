@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kgspark.runtime import materialize
+
 from kgspark.operators.fulltext import tokenize_col
 
 
@@ -188,7 +190,7 @@ def lsh_candidate_pairs(
     """
     # three consumers (bucket sizing + both join sides) — materialize
     # once; production writes the banded table out at this boundary
-    banded = lsh_banded(signatures, num_hashes, bands).localCheckpoint(eager=True)
+    banded = materialize(lsh_banded(signatures, num_hashes, bands))
     if max_bucket is not None:
         sizes = banded.groupBy("band", "band_sig").agg(
             F.count("*").alias("_bsz")
@@ -214,20 +216,61 @@ def lsh_candidate_pairs(
     )
 
 
+def ngram_hub_shingles(
+    docs: DataFrame,
+    max_doc_freq: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(shingle, doc_freq) for shingles above the document-frequency
+    cap — the observable drop log that pairs with
+    ``ngram_jaccard_pairs(max_doc_freq=...)`` (same pattern as
+    ``lsh_oversized_buckets``)."""
+    return (
+        _shingled(docs, id_col, text_col, shingle_n)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") > max_doc_freq)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
     Shingle-inverted self-join computes |A∩B| without materializing n²
     pairs; |A∪B| = |A|+|B|-|A∩B|. The exact (quadratic-in-collisions)
     baseline that MinHash/LSH approximates.
+
+    ``max_doc_freq`` guards the one way this goes quadratic at scale: a
+    boilerplate shingle shared by 10⁶ docs is a single join key with
+    10¹² output rows. Shingles above the cap are removed from the
+    shingle UNIVERSE (both the intersection join and the per-doc set
+    sizes), so the returned value is the exact Jaccard over the capped
+    vocabulary — hub shingles carry no similarity signal anyway (that
+    is precisely why they are hubs). Dropped shingles are enumerable
+    via ``ngram_hub_shingles`` — observable, never silent. Pass
+    ``max_doc_freq=None`` for the uncapped textbook definition
+    (test/oracle scale only).
     """
     sh = _shingled(docs, id_col, text_col, shingle_n)
+    if max_doc_freq is not None:
+        kept = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        # shingle stream feeds sizes + both join sides — materialize
+        # once now that the DF-cap agg sits upstream of all three
+        sh = materialize(sh.join(kept, "shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     a = sh.alias("a")
@@ -376,10 +419,10 @@ def neardup_clusters(
     # lazily each would re-run the shingle explode + 16-way min agg. At
     # warehouse scale this is the persisted signature table every LSH
     # dedup pipeline keeps anyway.
-    sigs = minhash_signatures(
+    sigs = materialize(minhash_signatures(
         docs, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, shingle_n=shingle_n,
-    ).localCheckpoint(eager=True)
+    ))
     cand = lsh_candidate_pairs(
         sigs, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
     )
@@ -422,7 +465,7 @@ def simhash_neardup_pairs(
     # production pipeline the signature table is written out once and
     # the join reads the materialized table — localCheckpoint is the
     # in-session stand-in for that boundary.
-    sim = simhash(docs, id_col=id_col, text_col=text_col).localCheckpoint(eager=True)
+    sim = materialize(simhash(docs, id_col=id_col, text_col=text_col))
     wcols = simhash_word_cols(sim)
     n_bands = 4 * len(wcols)
     assert max_hamming < n_bands, "pigeonhole banding needs max_hamming < bands"

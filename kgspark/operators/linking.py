@@ -32,6 +32,8 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType
 from pyspark.sql.window import Window
 
+from kgspark.runtime import materialize
+
 from kgspark.operators.fulltext import tokenize_col
 from kgspark.operators.similarity import cosine_col
 
@@ -186,7 +188,7 @@ def canonicalize_by_components(
     # boundary (in production this is the linked-facts table written
     # between the link and canonicalize stages) instead of re-executing
     # the resolve per consumer.
-    resolution = resolution.localCheckpoint(eager=True)
+    resolution = materialize(resolution)
     edges = sameas_edges(resolution)
     nodes = resolution.select(F.col("name").alias("id"))
     assign = connected_components_auto(nodes, edges, "id")
@@ -333,6 +335,7 @@ def resolve_mapping(
     aliases: DataFrame,
     canonicals: DataFrame,
     driver_max_mentions: int = 200_000,
+    driver_max_dims: int = 1_000_000,
 ) -> DataFrame:
     """``(name) → (name, canonical_id)`` via the size-adaptive resolver.
 
@@ -350,10 +353,19 @@ def resolve_mapping(
     # driver path's string ops never see None and apply_mention_map's
     # left join passes the null through unchanged on both paths
     distinct_mentions = distinct_mentions.na.drop(subset=["name"])
-    # Cheap count-only probe (no row transfer) before deciding the
-    # driver path; collecting happens only once we know it fits.
+    # Cheap count-only probes (no row transfer) before deciding the
+    # driver path; collecting happens only once we know EVERYTHING the
+    # path collects fits: the mentions AND both dimension tables. The
+    # alias dictionary is normally inventory-bounded, but nothing
+    # guarantees that — a dirty 50M-row alias table with 10k mentions
+    # must take the distributed tiers, not OOM the driver (symmetric
+    # with connected_components_auto's dual node/edge guard, cc.py).
     n_mentions = distinct_mentions.count()
-    if n_mentions <= driver_max_mentions:
+    dims_fit = (
+        n_mentions <= driver_max_mentions
+        and aliases.count() + canonicals.count() <= driver_max_dims
+    )
+    if dims_fit:
         sample = distinct_mentions.collect()
         # adaptive driver path: the distinct surface-form set is bounded
         # by the entity inventory, so even a 10^12-doc corpus usually

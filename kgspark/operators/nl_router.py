@@ -146,6 +146,23 @@ def route_and_execute(
         spark.createDataFrame([(question,)], ["question"])
     ).first()
     shape, provider_q, location_q = row.shape, row.provider_q, row.location_q
+    # A shape whose required anchors didn't extract is NOT covered: e.g.
+    # 'How many patients are treated in total?' routes to shape5 but has
+    # no provider/location anchor — dispatching anyway would crash the
+    # executor's tokenizer on None. Same ValueError as the unknown arm.
+    needs = {
+        "shape1": (provider_q,),
+        "shape2": (provider_q,),
+        "shape3": (location_q,),
+        "shape4": (provider_q, location_q),
+        "shape5": (provider_q, location_q),
+    }
+    if shape in needs and any(a is None for a in needs[shape]):
+        raise ValueError(
+            f"no deterministic shape covers {question!r} (routed {shape} "
+            "but a required anchor is missing); the reference delegates "
+            "such questions to its LLM generator"
+        )
     if shape == "shape1":
         return kq.patients_of_provider(nodes, edges, provider_q)
     if shape == "shape2":

@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kgspark.runtime import materialize
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -203,9 +205,9 @@ def cosine_neardup_pairs_lsh(
     # materialized once: the banded signature table feeds both sides of
     # the self-join (the production pipeline writes it out; in-session
     # the checkpoint is that table boundary)
-    banded = hyperplane_signature_bands(
+    banded = materialize(hyperplane_signature_bands(
         vectors, dim, n_planes, bands, id_col, vec_col
-    ).localCheckpoint(eager=True)
+    ))
     cand = (
         banded.alias("l")
         .join(

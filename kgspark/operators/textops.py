@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kgspark.runtime import materialize
+
 from kgspark.operators.fulltext import tokenize_col
 
 # Deterministic mini stopword lists (spec'd, not linguistic truth).
@@ -171,7 +173,7 @@ def corpus_filter(
     # the full corpus a second time; materialized because fp feeds BOTH
     # the keeper aggregation and the probe side of their join — without
     # the checkpoint Catalyst executes the normalize+md5 scan twice
-    fp = fingerprint(docs, id_col, text_col).localCheckpoint(eager=True)
+    fp = materialize(fingerprint(docs, id_col, text_col))
     keepers = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper"))
     ex = fp.join(keepers, "fingerprint").select(
         "doc_id",

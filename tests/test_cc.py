@@ -153,3 +153,27 @@ def test_hash_min_cc_raises_instead_of_silent_unconvergence(spark):
     nodes = spark.createDataFrame([(f"n{i:03d}",) for i in range(n)], ["id"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_iterations=3)
+
+
+def test_bfs_hub_fanout_prunes_frontier_to_cap(spark):
+    """Cap-aware expansion: on a hub node the per-depth frontier must
+    never exceed max_nodes (the round-3 version traversed the FULL
+    neighborhood and capped at the end), and the capped result must
+    still be the (depth, node)-ordered prefix of the full traversal."""
+    hub_edges = [("hub", f"n{i:04d}") for i in range(500)]
+    hub_edges += [(f"n{i:04d}", f"m{i:04d}") for i in range(500)]
+    edf = spark.createDataFrame(hub_edges, "src string, dst string")
+
+    sizes: list[int] = []
+    got = k_hop_nodes(
+        edf, "hub", max_depth=2, max_nodes=10, frontier_sizes=sizes
+    ).collect()
+    assert sizes and all(s <= 10 for s in sizes), sizes
+    # hub + the 9 smallest depth-1 neighbors; depth 2 never explored
+    assert [(r.node, r.depth) for r in got] == [("hub", 0)] + [
+        (f"n{i:04d}", 1) for i in range(9)
+    ]
+
+    # when the cap does not bind, pruning must be a no-op
+    full = k_hop_nodes(edf, "hub", max_depth=1, max_nodes=10_000)
+    assert full.count() == 501

@@ -265,3 +265,33 @@ def test_empty_vector_table_yields_empty_pairs(spark):
 
     vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert similarity.cosine_neardup_pairs_lsh(vecs, threshold=0.9).count() == 0
+
+
+def test_ngram_hub_shingle_cap_drops_boilerplate(spark):
+    """The DF cap removes a shingle shared by every doc from the
+    Jaccard universe, and the drop is observable via
+    ngram_hub_shingles (never silent)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    boiler = "all rights reserved forever"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta {boiler}"),
+            (2, f"alpha beta gamma delta {boiler}"),
+            (3, f"omega psi chi phi {boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    # uncapped: boilerplate shingles create spurious 3↔1/2 similarity
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.1, max_doc_freq=None)
+    assert uncapped.filter("doc_a = 1 AND doc_b = 3").count() == 1
+    # capped at df<=2: the 3-doc boilerplate shingles leave the universe
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.1, max_doc_freq=2)
+    rows = {(r.doc_a, r.doc_b): r.jaccard for r in capped.collect()}
+    assert (1, 3) not in rows and (2, 3) not in rows
+    assert rows[(1, 2)] == 1.0  # identical docs stay perfect matches
+    dropped = {
+        r.shingle: r.doc_freq
+        for r in dedup.ngram_hub_shingles(docs, max_doc_freq=2).collect()
+    }
+    assert dropped and all(v == 3 for v in dropped.values())

@@ -132,3 +132,39 @@ def test_resolve_mapping_paths_emit_mention_keys_only(spark):
         assert {(r.name, r.canonical_id) for r in rows} == {
             ("Supp 17", "Supplier#17")
         }, cap
+
+
+def test_oversized_dimension_tables_take_distributed_arm(spark, monkeypatch):
+    """A huge (dirty) alias table must push resolve_mapping off the
+    collect-everything driver path even when the mention set is tiny —
+    and the distributed output must stay bit-identical."""
+    from kgspark.operators import linking
+
+    mentions = spark.createDataFrame(
+        [("Supp 2",), ("Widget Corp",)], ["name"]
+    )
+    aliases = spark.createDataFrame(
+        [(f"Supp {i}", f"Supplier#{i}") for i in range(300)],
+        ["alias", "canonical"],
+    )
+    canonicals = spark.createDataFrame(
+        [(f"Supplier#{i}",) for i in range(300)], ["canonical"]
+    )
+
+    expected = {
+        (r.name, r.canonical_id)
+        for r in linking.resolve_mapping(mentions, aliases, canonicals).collect()
+    }
+
+    def boom(*a, **k):  # the driver path must NOT run
+        raise AssertionError("driver path collected oversized dimensions")
+
+    monkeypatch.setattr(linking, "resolve_mentions_local", boom)
+    got = {
+        (r.name, r.canonical_id)
+        for r in linking.resolve_mapping(
+            mentions, aliases, canonicals, driver_max_dims=100
+        ).collect()
+    }
+    assert got == expected
+    assert ("Supp 2", "Supplier#2") in got

@@ -83,3 +83,21 @@ def test_route_and_execute_answers_canonical_questions(spark):
 
     with pytest.raises(ValueError, match="no deterministic shape"):
         nl_router.route_and_execute(nodes, edges, "What is the meaning of life?")
+
+
+def test_route_and_execute_missing_anchor_raises_valueerror(spark):
+    """A question that routes to a shape but yields no anchor must get
+    the documented ValueError, not an AttributeError from tokenizing
+    None (e.g. shape5 with neither provider nor location)."""
+    import pytest
+
+    from kgspark.operators import nl_router
+
+    nodes = spark.createDataFrame([("x", "T", "n")], ["id", "type", "name"])
+    edges = spark.createDataFrame([("x", "r", "x")], ["src", "rel", "dst"])
+    for q in [
+        "How many patients are treated in total?",       # shape5, no anchors
+        "Which patients are treated by the best doctor?",  # shape1, no provider
+    ]:
+        with pytest.raises(ValueError, match="no deterministic shape"):
+            nl_router.route_and_execute(nodes, edges, q)

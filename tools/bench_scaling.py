@@ -188,7 +188,7 @@ def main() -> None:
                         # fixed across legs: task-slot count must be the
                         # ONLY variable; without this the session derives
                         # shuffle partitions from local[N] and the legs
-                        # run different shuffle parallelism. Default 8 =
+                        # run different shuffle parallelism. Default =
                         # the larger leg's core count: both legs get the
                         # identical work decomposition with the fewest
                         # scheduling waves (a higher pin taxes the big
@@ -196,7 +196,9 @@ def main() -> None:
                         # cluster scales partitions with executors, see
                         # BENCH/BASELINE.md round-3 notes).
                         "--shuffle-partitions",
-                        os.environ.get("KGSPARK_SCALING_SHUFFLE", "8"),
+                        os.environ.get(
+                            "KGSPARK_SCALING_SHUFFLE", str(max(LEGS))
+                        ),
                     ]
                     env = dict(os.environ, PYTHONPATH="")
                 else:  # plain-python fallback (no spark-submit on PATH)
