@@ -520,7 +520,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "connected_components",
     CC_REACH_SQL
     + """,
-assign AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+assign AS MATERIALIZED (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
 sizes AS (SELECT component, count(*) AS component_size FROM assign GROUP BY component)
 SELECT id, component, component_size FROM assign JOIN sizes USING (component)
 """,
@@ -747,7 +747,7 @@ bands AS ({_lsh_bands_sql()}),
 kept AS (SELECT band, band_sig FROM bands
          GROUP BY band, band_sig HAVING count(*) <= {_LSH_MAX_BUCKET}),
 bands_k AS (SELECT b.* FROM bands b JOIN kept USING (band, band_sig)),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM bands_k l JOIN bands_k r
     ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id
@@ -759,7 +759,7 @@ est AS (
   FROM cand c JOIN sigs a ON a.doc_id = c.doc_a JOIN sigs b ON b.doc_id = c.doc_b
 ),
 kp AS (SELECT doc_a, doc_b FROM est WHERE sim_est >= {_NEARDUP_MIN_EST}),
-ud AS (SELECT doc_a AS a, doc_b AS b FROM kp UNION SELECT doc_b, doc_a FROM kp),
+ud AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM kp UNION SELECT doc_b, doc_a FROM kp),
 reach(id, lbl) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
@@ -1321,7 +1321,7 @@ raw AS (
   SELECT *, row_number() OVER () AS row_idx
   FROM read_csv('{_HC_CSV}', header=true, all_varchar=true)
 ),
-ok AS (
+ok AS MATERIALIZED (
   SELECT row_idx, {trim_cols}
   FROM raw
   WHERE trim(coalesce(Provider, '')) != '' AND trim(coalesce(Patient, '')) != ''
@@ -1491,33 +1491,39 @@ def _ngram_vec_sql(src_cte: str, key: str) -> str:
 )"""
 
 
-def _resolution_ctes(threshold: float = 0.75) -> str:
+def _resolution_ctes(
+    threshold: float = 0.75, fixture_sql: str | None = None
+) -> str:
     """CTE block ending in ``resolution(name, resolved, method)`` — the
-    DuckDB mirror of operators/linking.resolve_mentions (3 tiers)."""
+    DuckDB mirror of operators/linking.resolve_mentions (3 tiers).
+
+    ``fixture_sql`` supplies the ``link_mentions`` / ``link_aliases`` /
+    ``link_canon`` CTEs (defaults to the supplier-derived driver
+    fixture; the pipeline oracle passes its parquet-backed block)."""
     return f"""
-{_LINK_FIXTURE_SQL},
-t12 AS (
+{fixture_sql if fixture_sql is not None else _LINK_FIXTURE_SQL},
+t12 AS MATERIALIZED (
   SELECT m.name, c.canonical AS r_exact, a.canonical AS r_alias
   FROM link_mentions m
   LEFT JOIN link_canon c ON m.name = c.canonical
   LEFT JOIN link_aliases a ON m.name = a.alias
 ),
-resolved_now AS (
+resolved_now AS MATERIALIZED (
   SELECT name, coalesce(r_exact, r_alias) AS resolved,
          CASE WHEN r_exact IS NOT NULL THEN 'exact' ELSE 'alias' END AS method
   FROM t12 WHERE r_exact IS NOT NULL OR r_alias IS NOT NULL
 ),
-unres AS (SELECT name FROM t12 WHERE r_exact IS NULL AND r_alias IS NULL),
-u_vec AS {_ngram_vec_sql('unres', 'name')},
-c_vec AS {_ngram_vec_sql('link_canon', 'canonical')},
-u_aa AS (SELECT name, sum(w * w) AS aa FROM u_vec GROUP BY name),
-c_aa AS (SELECT name AS canonical, sum(w * w) AS aa FROM c_vec GROUP BY name),
-u_tok AS (
+unres AS MATERIALIZED (SELECT name FROM t12 WHERE r_exact IS NULL AND r_alias IS NULL),
+u_vec AS MATERIALIZED {_ngram_vec_sql('unres', 'name')},
+c_vec AS MATERIALIZED {_ngram_vec_sql('link_canon', 'canonical')},
+u_aa AS MATERIALIZED (SELECT name, sum(w * w) AS aa FROM u_vec GROUP BY name),
+c_aa AS MATERIALIZED (SELECT name AS canonical, sum(w * w) AS aa FROM c_vec GROUP BY name),
+u_tok AS MATERIALIZED (
   SELECT DISTINCT name, tok FROM (
     SELECT name, unnest(list_filter(string_split_regex(lower(name), '[^a-z0-9]+'),
            x -> x != '')) AS tok FROM unres) WHERE tok != 'dr'
 ),
-c_tok_d AS (
+c_tok_d AS MATERIALIZED (
   SELECT DISTINCT canonical, tok FROM (
     SELECT canonical, unnest(list_filter(string_split_regex(lower(canonical), '[^a-z0-9]+'),
            x -> x != '')) AS tok FROM link_canon) WHERE tok != 'dr'
@@ -1525,16 +1531,16 @@ c_tok_d AS (
 -- DF-capped blocking (linking.blocking_df_cap): hub tokens carried by
 -- more than max(10, 1%) of canonicals are not blocking keys
 blk_cap AS (SELECT greatest(10, count(*) // 100) AS cap FROM link_canon),
-tok_df AS (SELECT tok, count(*) AS df FROM c_tok_d GROUP BY tok),
-c_tok AS (
+tok_df AS MATERIALIZED (SELECT tok, count(*) AS df FROM c_tok_d GROUP BY tok),
+c_tok AS MATERIALIZED (
   SELECT c.canonical, c.tok FROM c_tok_d c
   JOIN tok_df USING (tok), blk_cap WHERE tok_df.df <= blk_cap.cap
 ),
-blocked_pairs AS (
+blocked_pairs AS MATERIALIZED (
   SELECT DISTINCT u.name, c.canonical
   FROM u_tok u JOIN c_tok c ON u.tok = c.tok
 ),
-pair_cos AS (
+pair_cos AS MATERIALIZED (
   SELECT p.name, p.canonical,
          d.dot / sqrt(ua.aa * ca.aa) AS cos
   FROM blocked_pairs p
@@ -1545,17 +1551,17 @@ pair_cos AS (
   JOIN u_aa ua ON ua.name = p.name
   JOIN c_aa ca ON ca.canonical = p.canonical
 ),
-embedded AS (
+embedded AS MATERIALIZED (
   SELECT name, canonical AS resolved, 'embedding' AS method FROM (
     SELECT name, canonical,
            row_number() OVER (PARTITION BY name ORDER BY cos DESC, canonical ASC) AS rn
     FROM pair_cos WHERE cos >= {threshold}) WHERE rn = 1
 ),
-leftovers AS (
+leftovers AS MATERIALIZED (
   SELECT name, name AS resolved, CAST(NULL AS VARCHAR) AS method
   FROM unres WHERE name NOT IN (SELECT name FROM embedded)
 ),
-resolution AS (
+resolution AS MATERIALIZED (
   SELECT * FROM resolved_now
   UNION ALL SELECT * FROM embedded
   UNION ALL SELECT * FROM leftovers
@@ -1567,26 +1573,38 @@ WITH {_resolution_ctes()}
 SELECT name, resolved, method FROM resolution
 """
 
-_CANONICALIZE_CC_SQL = f"""
-WITH RECURSIVE {_resolution_ctes()},
-sa AS (SELECT name AS a, resolved AS b FROM resolution WHERE name != resolved),
+def _canonicalize_ctes() -> str:
+    """CTE block (consumes ``resolution`` and ``link_canon``) ending in
+    ``cc_map(name, canonical_id)`` — the DuckDB mirror of
+    operators/linking.canonicalize_by_components (recursive CC over
+    same-as edges, representative = canonical member else min)."""
+    return """
+sa AS MATERIALIZED (SELECT name AS a, resolved AS b FROM resolution WHERE name != resolved),
 ud AS (SELECT a, b FROM sa UNION SELECT b, a FROM sa),
-cc_nodes AS (SELECT name AS id FROM resolution UNION SELECT a FROM ud),
+cc_nodes AS MATERIALIZED (SELECT name AS id FROM resolution UNION SELECT a FROM ud),
 reach(id, lbl) AS (
   SELECT id, id FROM cc_nodes
   UNION
   SELECT ud.b, reach.lbl FROM reach JOIN ud ON ud.a = reach.id
 ),
 assign AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
-rep AS (
+rep AS MATERIALIZED (
   SELECT a.component,
          coalesce(min(CASE WHEN c.canonical IS NOT NULL THEN a.id END), min(a.id))
            AS canonical_id
   FROM assign a LEFT JOIN link_canon c ON a.id = c.canonical
   GROUP BY a.component
-)
-SELECT a.id AS name, r.canonical_id
-FROM assign a JOIN rep r ON a.component = r.component
+),
+cc_map AS MATERIALIZED (
+  SELECT a.id AS name, r.canonical_id
+  FROM assign a JOIN rep r ON a.component = r.component
+)"""
+
+
+_CANONICALIZE_CC_SQL = f"""
+WITH RECURSIVE {_resolution_ctes()},
+{_canonicalize_ctes()}
+SELECT name, canonical_id FROM cc_map
 """
 
 
@@ -1684,18 +1702,219 @@ def _healthcare_graph(spark: SparkSession):
     return triples, nodes, edges
 
 
-@register("kg_pipeline_triples")
+def _kg_pipeline_sql() -> str:
+    """DuckDB mirror of the full pipeline slice over the oracle-visible
+    parquet fixture (kgspark/fixtures.py): pages → line-kernel fact
+    extraction (ner.FACT_RE/BIO_RE, RE2 on both engines for this ASCII
+    corpus) → 3-tier linking + CC canonicalization (shared CTE builders)
+    → build_triples semantics with (warc_ts, url, sent_idx, seq)
+    first-wins ordering. The html-decode half of the invariant enters
+    through page_texts.parquet — the single-process spec extractor's
+    output per url (BASELINE.json's byte-identity rule in table form);
+    a distributed-decode divergence would hash-mismatch here."""
+    from kgspark.constants import (
+        CLS_LOCATION,
+        CLS_PATIENT,
+        CLS_PROVIDER,
+        CLS_SPECIALIZATION,
+        P_AGE,
+        P_BIO,
+        P_CONDITION,
+        P_GENDER,
+        P_LOCATED_AT,
+        P_NAME,
+        P_SPECIALIZES_IN,
+        P_TREATS,
+        XSD_INT,
+    )
+    from kgspark.extract import ner
+    from kgspark.fixtures import ensure_pipeline_fixture
+
+    fix = ensure_pipeline_fixture()
+    fact_re = ner.FACT_RE.pattern.replace("'", "''")
+    bio_re = ner.BIO_RE.pattern.replace("'", "''")
+
+    def mj(expr: str) -> str:
+        # mirror of ner._multi_join: split on \s+and\s+, trim, drop
+        # empties, join '|'
+        return (
+            "array_to_string(list_filter(list_transform("
+            f"string_split_regex({expr}, '\\s+and\\s+'), t -> trim(t)),"
+            " t -> t != ''), '|')"
+        )
+
+    def grp(i: int) -> str:
+        return f"regexp_extract(line, '{fact_re}', {i})"
+
+    fixture_block = f"""
+link_canon AS (SELECT DISTINCT canonical
+               FROM read_parquet('{fix}/canonicals.parquet')),
+link_aliases AS (SELECT alias, canonical
+                 FROM read_parquet('{fix}/aliases.parquet')),
+link_mentions AS MATERIALIZED (SELECT DISTINCT Provider AS name FROM pl_facts)"""
+
+    ordcols = "warc_ts, url, sent_idx"
+    return f"""
+WITH RECURSIVE
+pages AS MATERIALIZED (
+  SELECT w.url, w.warc_ts, g.text
+  FROM read_parquet('{fix}/webpages.parquet') w
+  JOIN read_parquet('{fix}/page_texts.parquet') g USING (url)
+  WHERE w.lang = 'en'
+),
+pl_lines AS MATERIALIZED (
+  SELECT url, warc_ts,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS sent_idx,
+         unnest(string_split(text, chr(10))) AS line
+  FROM pages
+),
+cand AS (
+  SELECT url, warc_ts, sent_idx, trim(line) AS line,
+         regexp_matches(trim(line), '{fact_re}') AS is_fact
+  FROM pl_lines
+  WHERE regexp_matches(trim(line), '{fact_re}')
+     OR regexp_matches(trim(line), '{bio_re}')
+),
+pf AS MATERIALIZED (
+  SELECT *, max(CASE WHEN is_fact THEN sent_idx END)
+              OVER (PARTITION BY url, warc_ts ORDER BY sent_idx)
+            AS prev_fact_idx
+  FROM cand
+),
+fact_rows AS MATERIALIZED (
+  SELECT url, warc_ts, sent_idx,
+         {grp(1)} AS Provider, {grp(4)} AS Patient,
+         {mj(grp(2))} AS Specialization, {mj(grp(3))} AS Location,
+         {grp(5)} AS Patient_Age, {grp(6)} AS Patient_Gender,
+         {mj(grp(7))} AS Patient_Condition
+  FROM pf WHERE is_fact
+),
+bio_attach AS MATERIALIZED (
+  SELECT b.url, b.warc_ts, b.prev_fact_idx AS sent_idx,
+         arg_min(b.line, b.sent_idx) AS bio
+  FROM pf b
+  JOIN fact_rows f ON f.url = b.url AND f.warc_ts = b.warc_ts
+                  AND f.sent_idx = b.prev_fact_idx
+  WHERE NOT b.is_fact
+    AND regexp_extract(b.line, '{bio_re}', 1) = f.Provider
+  GROUP BY 1, 2, 3
+),
+pl_facts AS MATERIALIZED (
+  SELECT f.url, f.warc_ts, f.sent_idx, f.Provider, f.Patient,
+         f.Specialization, f.Location, coalesce(b.bio, '') AS Bio,
+         f.Patient_Age, f.Patient_Gender, f.Patient_Condition
+  FROM fact_rows f
+  LEFT JOIN bio_attach b ON b.url = f.url AND b.warc_ts = f.warc_ts
+                        AND b.sent_idx = f.sent_idx
+),
+{_resolution_ctes(fixture_sql=fixture_block)},
+{_canonicalize_ctes()},
+mapping AS (SELECT c.name, c.canonical_id
+            FROM cc_map c JOIN link_mentions USING (name)),
+ok AS (
+  SELECT p.warc_ts, p.url, p.sent_idx,
+         coalesce(m.canonical_id, p.Provider) AS Provider,
+         p.Patient, p.Specialization, p.Location, p.Bio,
+         p.Patient_Age, p.Patient_Gender, p.Patient_Condition
+  FROM pl_facts p LEFT JOIN mapping m ON p.Provider = m.name
+  WHERE trim(p.Provider) != '' AND trim(p.Patient) != ''
+),
+pl_specs AS MATERIALIZED (
+  SELECT {ordcols}, Provider, unnest({_parts_sql('Specialization')}) AS part,
+         generate_subscripts({_parts_sql('Specialization')}, 1) AS pos
+  FROM ok
+),
+pl_locs AS MATERIALIZED (
+  SELECT {ordcols}, Provider, len({_parts_sql('Specialization')}) AS nspec,
+         unnest({_parts_sql('Location')}) AS part,
+         generate_subscripts({_parts_sql('Location')}, 1) AS pos
+  FROM ok
+),
+pl_conds AS MATERIALIZED (
+  SELECT {ordcols}, Patient, unnest({_parts_sql('Patient_Condition')}) AS part
+  FROM ok
+),
+pl_mentions AS MATERIALIZED (
+  SELECT {ordcols}, 0 AS seq, Provider AS label, {uri_sql('Provider')} AS uri,
+         '{CLS_PROVIDER}' AS cls FROM ok
+  UNION ALL SELECT {ordcols}, 1, Patient, {uri_sql('Patient')},
+         '{CLS_PATIENT}' FROM ok
+  UNION ALL SELECT {ordcols}, 1 + pos, part, {uri_sql('part')},
+         '{CLS_SPECIALIZATION}' FROM pl_specs
+  UNION ALL SELECT {ordcols}, 1 + nspec + pos, part, {uri_sql('part')},
+         '{CLS_LOCATION}' FROM pl_locs
+),
+pl_names AS MATERIALIZED (
+  SELECT uri, label FROM (
+    SELECT uri, label,
+           row_number() OVER (PARTITION BY uri
+                              ORDER BY {ordcols}, seq) AS rn
+    FROM pl_mentions) WHERE rn = 1
+),
+pl_bios AS MATERIALIZED (
+  SELECT uri, v FROM (
+    SELECT {uri_sql('Provider')} AS uri, Bio AS v,
+           row_number() OVER (PARTITION BY {uri_sql('Provider')}
+                              ORDER BY {ordcols}) AS rn
+    FROM ok WHERE Bio != '') WHERE rn = 1
+),
+pl_genders AS MATERIALIZED (
+  SELECT uri, v FROM (
+    SELECT {uri_sql('Patient')} AS uri, Patient_Gender AS v,
+           row_number() OVER (PARTITION BY {uri_sql('Patient')}
+                              ORDER BY {ordcols}) AS rn
+    FROM ok WHERE Patient_Gender != '') WHERE rn = 1
+),
+pl_ages AS MATERIALIZED (
+  SELECT uri,
+         CASE WHEN try_cast(v AS BIGINT) IS NOT NULL
+              THEN CAST(try_cast(v AS BIGINT) AS VARCHAR) ELSE v END AS lex,
+         CASE WHEN try_cast(v AS BIGINT) IS NOT NULL
+              THEN '{XSD_INT}' ELSE CAST(NULL AS VARCHAR) END AS dtype
+  FROM (
+    SELECT {uri_sql('Patient')} AS uri, Patient_Age AS v,
+           row_number() OVER (PARTITION BY {uri_sql('Patient')}
+                              ORDER BY {ordcols}) AS rn
+    FROM ok WHERE Patient_Age != '') WHERE rn = 1
+),
+pl_triples AS (
+  SELECT uri AS subj, '{RDF_TYPE}' AS pred, cls AS obj,
+         'uri' AS obj_kind, {NULLCOLS}
+  FROM pl_mentions
+  UNION ALL SELECT {uri_sql('Provider')}, '{P_SPECIALIZES_IN}',
+         {uri_sql('part')}, 'uri', NULL, NULL FROM pl_specs
+  UNION ALL SELECT {uri_sql('Provider')}, '{P_LOCATED_AT}',
+         {uri_sql('part')}, 'uri', NULL, NULL FROM pl_locs
+  UNION ALL SELECT {uri_sql('Provider')}, '{P_TREATS}',
+         {uri_sql('Patient')}, 'uri', NULL, NULL FROM ok
+  UNION ALL SELECT {uri_sql('Patient')}, '{P_CONDITION}', part,
+         'literal', NULL, NULL FROM pl_conds
+  UNION ALL SELECT uri, '{P_NAME}', label, 'literal', NULL, NULL FROM pl_names
+  UNION ALL SELECT uri, '{P_BIO}', v, 'literal', NULL, NULL FROM pl_bios
+  UNION ALL SELECT uri, '{P_GENDER}', v, 'literal', NULL, NULL FROM pl_genders
+  UNION ALL SELECT uri, '{P_AGE}', lex, 'literal', dtype, NULL FROM pl_ages
+)
+SELECT DISTINCT subj, pred, obj, obj_kind, obj_dtype, obj_lang FROM pl_triples
+"""
+
+
+@register("kg_pipeline_triples", _kg_pipeline_sql())
 def kg_pipeline_triples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full in-memory pipeline slice: synthetic web pages → mapInArrow
-    extraction → 3-tier linking → triples (exactness pinned by
-    tests/test_pipeline.py against the golden oracle)."""
-    from kgspark import datagen
+    """Full pipeline slice over the oracle-visible parquet corpus:
+    web pages → mapInArrow html decode + JVM line-kernel extraction →
+    3-tier linking + CC canonicalization → triples. Exactness is pinned
+    twice: tests/test_pipeline.py against the golden Python oracle, and
+    the driver's DuckDB mirror (_kg_pipeline_sql) over the same
+    parquet."""
     from kgspark.extract.ner import extract_facts
+    from kgspark.fixtures import ensure_pipeline_fixture
     from kgspark.operators.linking import link_facts
     from kgspark.operators.rdf_build import build_triples
 
-    corpus = datagen.generate_corpus(n_pages=200, seed=31)
-    pages, aliases, canonicals = datagen.corpus_to_spark(spark, corpus)
+    fix = ensure_pipeline_fixture()
+    pages = spark.read.parquet(f"{fix}/webpages.parquet")
+    aliases = spark.read.parquet(f"{fix}/aliases.parquet")
+    canonicals = spark.read.parquet(f"{fix}/canonicals.parquet")
     facts = extract_facts(pages)
     linked = link_facts(facts, aliases, canonicals)
     ordered = linked.withColumn("row_idx", F.struct("warc_ts", "url", "sent_idx"))

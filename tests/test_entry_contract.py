@@ -5,11 +5,10 @@ from __future__ import annotations
 import __spark_entry__ as entry_mod
 
 
-# non-SQL-expressible ops: pinned exactly by pytest instead of DuckDB
-ROWS_ONLY = {
-    "kg_pipeline_triples",   # python extraction kernel over a driver-side
-                             # synthetic corpus (test_pipeline: P/R 1.0)
-}
+# non-SQL-expressible ops: pinned exactly by pytest instead of DuckDB.
+# Empty since round 4 (kg_pipeline_triples gained a parquet-fixture
+# oracle) — every registered query is value-checked by the driver.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_an_oracle_or_is_declared_rows_only():
