@@ -1398,14 +1398,16 @@ def _fulltext_anchor_ctes(alias: str, cls: str, tokens: list[str]) -> str:
 )"""
 
 
-def _hc_shape5_sql() -> str:
+def _hc_shape5_sql(
+    provider_query: str = "Dr. John Smith", location_query: str = "Los Angeles"
+) -> str:
     from kgspark.constants import CLS_LOCATION, CLS_PROVIDER
 
     return f"""
 WITH {_healthcare_ctes()},
 hc_types AS (SELECT uri AS id, min(cls) AS type FROM hc_mentions GROUP BY uri),
-{_fulltext_anchor_ctes("prov", CLS_PROVIDER, ["dr", "john", "smith"])},
-{_fulltext_anchor_ctes("loc", CLS_LOCATION, ["los", "angeles"])},
+{_fulltext_anchor_ctes("prov", CLS_PROVIDER, _query_tokens(provider_query))},
+{_fulltext_anchor_ctes("loc", CLS_LOCATION, _query_tokens(location_query))},
 hc_ages AS (
   SELECT uri AS id,
          CASE WHEN try_cast(v AS BIGINT) IS NOT NULL
@@ -2199,34 +2201,108 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generate_cypher (cypher_generator.py:179-204); see operators/nl_router.py
 # --------------------------------------------------------------------------
 
+# Shape id → (Spark executor name, oracle SQL builder, anchor arity).
+# The execute arm of nl_route reduces each shape's result to
+# (exec_rows, exec_digest): row strings are the columns SORTED BY NAME,
+# NULLs as a \x00NULL sentinel, joined on \x01; the digest is md5 over
+# the sorted row strings joined on \n — identical arithmetic on both
+# engines, empty results hashing md5('').
+
+_SHAPE_EXEC_COLS = {
+    "shape1": ["patient_id", "patient_name", "matched_provider", "provider_score"],
+    "shape2": ["specialization_id", "specialization", "matched_provider", "provider_score"],
+    "shape3": ["provider_id", "provider_name", "matched_location"],
+    "shape4": ["patient_id", "patient_name", "matched_provider", "matched_location", "provider_score"],
+    "shape5": ["matched_provider", "matched_location", "total_patients", "avg_age"],
+}
+
+
+def _shape_oracle_stmt(shape: str, prov: str | None, loc: str | None) -> str:
+    if shape == "shape1":
+        return _hc_shape1_sql(provider_query=prov)
+    if shape == "shape2":
+        return _hc_shape2_sql(provider_query=prov)
+    if shape == "shape3":
+        return _hc_shape3_sql(location_query=loc)
+    if shape == "shape4":
+        return _hc_shape4_sql(provider_query=prov, location_query=loc)
+    if shape == "shape5":
+        return _hc_shape5_sql(provider_query=prov, location_query=loc)
+    raise ValueError(shape)
+
+
 def _nl_route_sql() -> str:
     from kgspark.operators import nl_router
 
-    vals = ",\n  ".join(
-        "(" + q.replace("'", "''").join(["'", "'"]) + ")"
-        for q in nl_router.CANONICAL_QUESTIONS
-    )
+    def q_lit(q: str) -> str:
+        return "'" + q.replace("'", "''") + "'"
+
+    vals = ",\n  ".join(f"({q_lit(q)})" for q in nl_router.CANONICAL_QUESTIONS)
+    digests = []
+    for q in nl_router.CANONICAL_QUESTIONS:
+        shape, prov, loc = nl_router.route_local(q)
+        stmt = _shape_oracle_stmt(shape, prov, loc)
+        rs = " || chr(1) || ".join(
+            f"coalesce(CAST({c} AS VARCHAR), chr(0) || 'NULL')"
+            for c in sorted(_SHAPE_EXEC_COLS[shape])
+        )
+        digests.append(f"""
+SELECT {q_lit(q)} AS question, count(*) AS exec_rows,
+       md5(coalesce(string_agg(rs, chr(10) ORDER BY rs), '')) AS exec_digest
+FROM (SELECT {rs} AS rs FROM ({stmt}) shape_res)""")
+    exec_union = "\nUNION ALL".join(digests)
     return f"""
-SELECT question, {nl_router.oracle_case_sql('question')}
+SELECT r.question, {nl_router.oracle_case_sql('r.question')},
+       e.exec_rows, e.exec_digest
 FROM (VALUES
   {vals}
-) AS t(question)
+) AS r(question)
+JOIN ({exec_union}) e ON e.question = r.question
 """
 
 
 @register("nl_route", _nl_route_sql())
 def nl_route_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I2-lite: deterministic NL-question → query-shape routing over the
+    """I2: deterministic NL-question → query-shape routing over the
     reference's five canonical few-shot questions
-    (cypher_generator.py:23-98). Pure column expressions (rlike +
-    regexp_extract), so the same router scales to a table of millions
-    of questions with zero Python in the loop."""
+    (cypher_generator.py:23-98), PLUS the execute arm — each question
+    is dispatched through ``route_and_execute`` against the healthcare
+    graph (the reference's EP2 ask-a-question loop, kg_rag.py:90-146,
+    minus the LLM) and the routed shape's result is reduced to
+    (exec_rows, exec_digest), value-checked against the shape's own
+    parameterized SQL mirror. Routing itself is pure column expressions
+    (rlike + regexp_extract): a table of millions of questions routes
+    with zero Python in the loop."""
     from kgspark.operators import nl_router
 
-    qdf = spark.createDataFrame(
-        [(q,) for q in nl_router.CANONICAL_QUESTIONS], ["question"]
+    routed = nl_router.route_questions(
+        spark.createDataFrame(
+            [(q,) for q in nl_router.CANONICAL_QUESTIONS], ["question"]
+        )
     )
-    return nl_router.route_questions(qdf)
+    _, nodes, edges = _healthcare_graph(spark)
+    per_q = []
+    for q in nl_router.CANONICAL_QUESTIONS:
+        res = nl_router.route_and_execute(nodes, edges, q)
+        rs = F.concat_ws(
+            "\x01",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+                for c in sorted(res.columns)
+            ],
+        )
+        per_q.append(
+            res.select(rs.alias("rs")).agg(
+                F.count("*").alias("exec_rows"),
+                F.md5(
+                    F.concat_ws("\n", F.array_sort(F.collect_list("rs")))
+                ).alias("exec_digest"),
+            ).select(F.lit(q).alias("question"), "exec_rows", "exec_digest")
+        )
+    exec_df = per_q[0]
+    for d in per_q[1:]:
+        exec_df = exec_df.unionByName(d)
+    return routed.join(exec_df, "question")
 
 
 # --------------------------------------------------------------------------

@@ -82,6 +82,39 @@ def location_anchor_col(q: Column) -> Column:
     return F.nullif(F.regexp_extract(q, _P_LOCATION, 1), F.lit(""))
 
 
+def route_local(question: str) -> tuple[str, str | None, str | None]:
+    """Driver-side twin of ``route_questions`` for a single question
+    (CPython ``re``; the patterns are restricted to RE2-shared syntax,
+    so the three engines — Spark, DuckDB, this — agree). Used to build
+    the execution oracle at registration time; the Spark router remains
+    the runtime path."""
+    import re
+
+    def has(p: str) -> bool:
+        return re.search(p, question) is not None
+
+    if has(_P_AGG):
+        shape = "shape5"
+    elif has(_P_SPEC):
+        shape = "shape2"
+    elif has(_P_PATIENTS) and has(_P_LOCATED):
+        shape = "shape4"
+    elif has(_P_LOCATED):
+        shape = "shape3"
+    elif has(_P_PATIENTS):
+        shape = "shape1"
+    else:
+        shape = "unknown"
+
+    def extract(p: str) -> str | None:
+        m = re.search(p, question)
+        return m.group(1) if m and m.group(1) else None
+
+    provider = extract(_P_PROVIDER_DR) or extract(_P_PROVIDER_NAMED)
+    location = extract(_P_LOCATION)
+    return shape, provider, location
+
+
 def route_questions(df: DataFrame, question_col: str = "question") -> DataFrame:
     """Append (shape, provider_q, location_q) routing columns."""
     q = F.col(question_col)
