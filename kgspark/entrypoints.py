@@ -2136,10 +2136,15 @@ def kg_cypher_shape5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_decode_sql(n: int = 60) -> str:
-    """DuckDB mirror of the stub decode: the synthetic payload is a pure
-    function of media_id (multimodal.py synthesize_media_bytes), so the
-    'decode' is re-derivable in SQL — body bytes via generate_series,
-    feature-bucket sums, one exact double division per bucket."""
+    """DuckDB mirror of the REAL decode statistics: every synthetic
+    payload's decoded unit stream (BMP pixel bytes / WAV samples+128 /
+    KGSM stub body) is the pure function u(id, i) = (id·31 + i·7) mod
+    256 of media_id (multimodal.synthesize_media_bytes), so the decoded
+    dimensions, durations, and 8-bucket feature ratios are re-derivable
+    in SQL — unit stream via generate_series, bucket sums, one exact
+    double division per bucket. The Spark side actually parses the BMP
+    header + padded BGR rows and the RIFF/WAV frames (media_codecs.py);
+    a decode bug there hash-mismatches here."""
     f_cols = ", ".join(
         f"coalesce(max(CASE WHEN j = {j} THEN f END) / total, 0.0) AS f{j}"
         for j in range(8)
@@ -2148,19 +2153,24 @@ def _multimodal_decode_sql(n: int = 60) -> str:
 WITH meta AS (
   SELECT i::BIGINT AS media_id,
          CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         (i * 2654435761) % 4096 + 128 AS body_len
+         (i * 2654435761) % 4096 + 128 AS stub_len,
+         64 + (i % 8) * 32 AS dim_w, 48 + (i % 5) * 32 AS dim_h
   FROM range({n}) t(i)
 ),
 dims AS (
-  SELECT media_id, kind, body_len,
-         CASE WHEN kind = 'audio' THEN 0 ELSE 64 + (media_id % 8) * 32 END::INT AS decoded_width,
-         CASE WHEN kind = 'audio' THEN 0 ELSE 48 + (media_id % 5) * 32 END::INT AS decoded_height,
-         CASE WHEN kind = 'image' THEN 0 ELSE 1000 + media_id * 250 END::INT AS decoded_duration_ms
+  SELECT media_id, kind,
+         CASE WHEN kind = 'audio' THEN 0 ELSE dim_w END::INT AS decoded_width,
+         CASE WHEN kind = 'audio' THEN 0 ELSE dim_h END::INT AS decoded_height,
+         CASE kind WHEN 'image' THEN 0
+                   WHEN 'audio' THEN stub_len * 1000 // 8000
+                   ELSE 1000 + media_id * 250 END::INT AS decoded_duration_ms,
+         CASE WHEN kind = 'image' THEN dim_w * dim_h * 3
+              ELSE stub_len END AS n_units
   FROM meta
 ),
 body AS (
-  SELECT m.media_id, u.i % 8 AS j, (m.media_id * 31 + u.i * 7) % 256 AS b
-  FROM meta m, unnest(generate_series(0, m.body_len - 1)) AS u(i)
+  SELECT d.media_id, u.i % 8 AS j, (d.media_id * 31 + u.i * 7) % 256 AS b
+  FROM dims d, unnest(generate_series(0, d.n_units - 1)) AS u(i)
 ),
 feats AS (SELECT media_id, j, sum(b)::DOUBLE AS f FROM body GROUP BY media_id, j),
 tot AS (SELECT media_id, sum(f) AS total FROM feats GROUP BY media_id)
@@ -2173,10 +2183,13 @@ GROUP BY d.media_id, d.kind, d.decoded_width, d.decoded_height, d.decoded_durati
 
 @register("multimodal_decode", _multimodal_decode_sql())
 def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media decode+featurize plumbing (stub codec, real batch
-    flow); determinism pinned by tests/test_multimodal.py and the
-    generate_series DuckDB oracle (the stub payload is a pure function
-    of media_id, so the decode arithmetic is SQL-reproducible)."""
+    """Binary media decode+featurize: REAL stdlib codecs for BMP images
+    and PCM WAV audio (operators/media_codecs.py), KGSM stub for video
+    (no uncompressed stdlib video format). Determinism pinned by
+    tests/test_multimodal.py and the generate_series DuckDB oracle (the
+    synthetic payloads' decoded unit streams are pure functions of
+    media_id, so the decoded-pixel/sample statistics are
+    SQL-reproducible — a decoder bug hash-mismatches here)."""
     from kgspark.operators import multimodal as mm
 
     media = mm.synthesize_media(spark, n=60)

@@ -3,15 +3,19 @@
 Media are opaque ``binary`` columns with typed metadata, exactly like
 the web-page table's ``html`` column. The Spark-side plumbing — schema,
 partitioning, Arrow batch shape, UDF signatures, size accounting — is
-real and tested; the actual codec work is STUBBED behind
-``KGSPARK_MEDIA_DECODER`` because no image/audio libraries exist in
-this container:
+real and tested, and since round 4 the decode itself is REAL for one
+uncompressed format per modality (pure stdlib, operators/media_codecs):
 
-- ``decoder="stub"`` (default): deterministic fake decode that parses
-  our synthetic media header (see ``synthesize_media``) — real batch
-  flow, fake pixels;
-- ``decoder="pil"``/``"librosa"``: raise NotImplementedError with a
-  clear message (the integration point; swap-in is one function).
+- image → **BMP** (24-bit) and **PPM** (P6): full pixel decode;
+- audio → **WAV** (16-bit PCM): full sample decode;
+- video → still the synthetic KGSM stub (no uncompressed stdlib video
+  format exists), plus compressed formats (JPEG/PNG/MP3/H.264) raise
+  ``NotImplementedError`` at the payload sniffer — the honest
+  integration point for a PIL/librosa/pyav swap-in.
+
+Features are 8-bucket normalized sums over the decoded unit stream
+(pixel bytes / samples+128) — exact integer-in-double arithmetic, so
+the DuckDB oracle reproduces the decoded statistics bit-for-bit.
 
 Scale notes: media rows are huge (MBs) — never let them pass through a
 pandas conversion (same lesson as html: Arrow batches keep the payload
@@ -25,8 +29,11 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from kgspark.operators import media_codecs as mc
 
 # (url, kind, media bytes, metadata) — the typed-metadata contract
 MEDIA_SCHEMA = (
@@ -34,68 +41,124 @@ MEDIA_SCHEMA = (
     " width int, height int, duration_ms int, n_bytes long"
 )
 
-_MAGIC = b"KGSM"  # synthetic media header: MAGIC kind:1 width:4 height:4 dur:4
+_MAGIC = b"KGSM"  # synthetic VIDEO header: MAGIC kind:1 width:4 height:4 dur:4
+
+AUDIO_RATE = 8000
+
+
+def _unit_bytes(media_id: int, n: int) -> bytes:
+    """The deterministic unit stream u(id, i) = (id·31 + i·7) mod 256 —
+    shared by all three synthetic payload kinds, which is what lets the
+    DuckDB oracle re-derive the decoded statistics from media_id."""
+    return bytes((media_id * 31 + i * 7) % 256 for i in range(n))
+
+
+def _stub_len(media_id: int) -> int:
+    return (media_id * 2654435761) % 4096 + 128
 
 
 def synthesize_media_bytes(kind: str, media_id: int, width: int, height: int, duration_ms: int) -> bytes:
-    """Deterministic fake media payload with a parseable header."""
+    """Deterministic synthetic payload: a REAL encoded file for image
+    (BMP) and audio (WAV); the KGSM header stub for video."""
+    if kind == "image":
+        return mc.encode_bmp(width, height, _unit_bytes(media_id, width * height * 3))
+    if kind == "audio":
+        samples = [b - 128 for b in _unit_bytes(media_id, _stub_len(media_id))]
+        return mc.encode_wav(AUDIO_RATE, samples)
     kind_code = {"image": 1, "audio": 2, "video": 3}[kind]
     header = _MAGIC + struct.pack("<BIII", kind_code, width, height, duration_ms)
-    body_len = (media_id * 2654435761) % 4096 + 128
-    body = bytes((media_id * 31 + i * 7) % 256 for i in range(body_len))
-    return header + body
+    return header + _unit_bytes(media_id, _stub_len(media_id))
 
 
 def synthesize_media(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table in MEDIA_SCHEMA."""
     rows = []
     kinds = ["image", "audio", "video"]
+    mimes = {"image": "image/bmp", "audio": "audio/wav", "video": "video/x-kgsm"}
     for i in range(n):
         kind = kinds[i % 3]
         w, h = (64 + (i % 8) * 32, 48 + (i % 5) * 32) if kind != "audio" else (0, 0)
-        dur = 0 if kind == "image" else 1000 + i * 250
+        if kind == "image":
+            dur = 0
+        elif kind == "audio":
+            dur = _stub_len(i) * 1000 // AUDIO_RATE
+        else:
+            dur = 1000 + i * 250
         payload = synthesize_media_bytes(kind, i, w, h, dur)
-        mime = {"image": "image/x-kgsm", "audio": "audio/x-kgsm", "video": "video/x-kgsm"}[kind]
-        rows.append((i, kind, payload, mime, w, h, dur, len(payload)))
+        rows.append((i, kind, payload, mimes[kind], w, h, dur, len(payload)))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def _featurize_units(units: np.ndarray) -> list[float]:
+    """8-bucket normalized sums over the unit stream (vectorized; the
+    bucket sums and total are exact integer-valued doubles, so each
+    ratio is a single correctly-rounded division — bit-identical in any
+    engine, which is what lets the DuckDB oracle value-check a real
+    decoded-pixel/sample statistic)."""
+    feats = [float(units[j::8].sum()) for j in range(8)]
+    total = sum(feats) or 1.0
+    return [f / total for f in feats]
+
+
+def _decode_payload(payload: bytes) -> dict:
+    """Sniff + decode one payload; returns the decode contract dict."""
+    if payload[:2] == b"BM":
+        w, h, rgb = mc.decode_bmp(payload)
+        units = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+        return {"decoded_width": w, "decoded_height": h,
+                "decoded_duration_ms": 0, "features": _featurize_units(units)}
+    if payload[:2] == b"P6":
+        w, h, rgb = mc.decode_ppm(payload)
+        units = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+        return {"decoded_width": w, "decoded_height": h,
+                "decoded_duration_ms": 0, "features": _featurize_units(units)}
+    if payload[:4] == b"RIFF":
+        rate, channels, samples = mc.decode_wav(payload)
+        units = np.asarray(samples, dtype=np.int64) + 128
+        frames = len(samples) // channels
+        return {"decoded_width": 0, "decoded_height": 0,
+                "decoded_duration_ms": frames * 1000 // rate,
+                "features": _featurize_units(units)}
+    if payload[:4] == _MAGIC:
+        return _decode_stub(payload)
+    raise NotImplementedError(
+        f"unrecognized media payload (magic {payload[:4]!r}): compressed "
+        "codecs (JPEG/PNG/MP3/H.264) need PIL/librosa/pyav — add a branch "
+        "here with the same return contract"
+    )
+
+
 def _decode_stub(payload: bytes) -> dict:
-    """Parse the synthetic header; deterministic 8-dim 'feature' vector."""
+    """Parse the synthetic KGSM header (video stand-in): deterministic
+    8-dim 'feature' vector over the header's body bytes."""
     if payload[:4] != _MAGIC:
         raise ValueError("not a KGSM payload")
     kind_code, width, height, duration_ms = struct.unpack("<BIII", payload[4:17])
-    body = payload[17:]
-    feats = [0.0] * 8
-    for i, b in enumerate(body):
-        feats[i % 8] += b
-    total = sum(feats) or 1.0
-    # Raw IEEE ratios, no rounding: the sums and total are exact
-    # integer-valued doubles, so f/total is a single correctly-rounded
-    # division — bit-identical in any engine (this is what lets the
-    # DuckDB oracle reproduce the "decode" arithmetic exactly).
+    units = np.frombuffer(payload[17:], dtype=np.uint8).astype(np.int64)
     return {
         "decoded_width": width,
         "decoded_height": height,
         "decoded_duration_ms": duration_ms,
-        "features": [f / total for f in feats],
+        "features": _featurize_units(units),
     }
 
 
 def decode_and_featurize(
-    media: DataFrame, decoder: str = "stub", batch_hint: int = 16
+    media: DataFrame, decoder: str = "auto", batch_hint: int = 16
 ) -> DataFrame:
     """(media_id, kind, decoded_*, features[8], batch_rows) via mapInArrow.
 
-    ``batch_rows`` records the Arrow batch each row traveled in — it
-    makes batch shape observable/testable (media batches must stay
-    small; configured via spark.sql.execution.arrow.maxRecordsPerBatch).
+    ``decoder="auto"`` sniffs each payload's magic (BMP/PPM/WAV decoded
+    for real, KGSM via the stub); ``batch_rows`` records the Arrow
+    batch each row traveled in — it makes batch shape
+    observable/testable (media batches must stay small; configured via
+    spark.sql.execution.arrow.maxRecordsPerBatch).
     """
-    if decoder != "stub":
+    if decoder != "auto":
         raise NotImplementedError(
-            f"decoder={decoder!r}: real codecs (PIL/librosa/pyav) are not in "
-            "this container; implement _decode_<name> with the same return "
-            "contract as _decode_stub and route it here"
+            f"decoder={decoder!r}: payloads are format-sniffed; compressed "
+            "codecs (PIL/librosa/pyav) are not in this container — extend "
+            "_decode_payload with the same return contract"
         )
 
     import pyarrow as pa
@@ -123,7 +186,7 @@ def decode_and_featurize(
                                     "decoded_height", "decoded_duration_ms",
                                     "features", "batch_rows"]}
             for i in range(rb.num_rows):
-                d = _decode_stub(payload_col[i].as_py())
+                d = _decode_payload(payload_col[i].as_py())
                 recs["media_id"].append(ids[i])
                 recs["kind"].append(kinds[i])
                 recs["decoded_width"].append(d["decoded_width"])

@@ -15,8 +15,11 @@ def media(spark):
 
 def test_schema_and_payload_roundtrip(media):
     assert dict(media.dtypes)["payload"] == "binary"
-    r = media.filter(F.col("media_id") == 3).first()
-    assert r.payload[:4] == b"KGSM" and r.n_bytes == len(r.payload)
+    rows = {r.media_id: r for r in media.filter(F.col("media_id") < 6).collect()}
+    assert rows[3].payload[:2] == b"BM"      # image → real BMP
+    assert rows[4].payload[:4] == b"RIFF"    # audio → real WAV
+    assert rows[5].payload[:4] == b"KGSM"    # video → synthetic stub
+    assert all(r.n_bytes == len(r.payload) for r in rows.values())
 
 
 def test_decode_featurize_batchflow(spark, media):
@@ -82,3 +85,62 @@ def test_frame_sample_skips_zero_duration_video(spark):
     )
     got = {(r.media_id, r.frame_ts_ms) for r in frame_sample_plan(media).collect()}
     assert got == {(1, 0), (1, 1000), (1, 2000)}
+
+
+def test_codec_roundtrips():
+    """encode → decode is byte-identical for BMP (incl. odd widths that
+    exercise row padding), PPM (incl. header comments), and WAV
+    (mono + stereo)."""
+    from kgspark.operators import media_codecs as mc
+
+    for w, h in [(3, 2), (4, 4), (5, 1), (1, 7)]:
+        rgb = bytes((i * 13 + 5) % 256 for i in range(w * h * 3))
+        assert mc.decode_bmp(mc.encode_bmp(w, h, rgb)) == (w, h, rgb), (w, h)
+        assert mc.decode_ppm(mc.encode_ppm(w, h, rgb)) == (w, h, rgb), (w, h)
+
+    commented = b"P6\n# a comment\n3 2\n# more\n255\n" + bytes(range(18))
+    assert mc.decode_ppm(commented) == (3, 2, bytes(range(18)))
+
+    samples = [((i * 37) % 65536) - 32768 for i in range(777)]
+    assert mc.decode_wav(mc.encode_wav(8000, samples)) == (8000, 1, samples)
+    assert mc.decode_wav(mc.encode_wav(44100, samples[:776], channels=2)) == (
+        44100, 2, samples[:776],
+    )
+
+
+def test_real_decode_matches_unit_formula():
+    """The BMP/WAV decoders must recover exactly the unit stream the
+    synthesizer encoded (the invariant the DuckDB oracle relies on)."""
+    import numpy as np
+
+    from kgspark.operators import media_codecs as mc
+    from kgspark.operators import multimodal as mm
+
+    # image id=3: w=160, h=144
+    w, h = 64 + (3 % 8) * 32, 48 + (3 % 5) * 32
+    payload = mm.synthesize_media_bytes("image", 3, w, h, 0)
+    dw, dh, rgb = mc.decode_bmp(payload)
+    assert (dw, dh) == (w, h)
+    assert rgb == mm._unit_bytes(3, w * h * 3)
+
+    # audio id=4
+    payload = mm.synthesize_media_bytes("audio", 4, 0, 0, 0)
+    rate, channels, samples = mc.decode_wav(payload)
+    assert (rate, channels) == (mm.AUDIO_RATE, 1)
+    assert bytes((s + 128) for s in samples) == mm._unit_bytes(4, mm._stub_len(4))
+
+    d = mm._decode_payload(payload)
+    units = np.frombuffer(mm._unit_bytes(4, mm._stub_len(4)), np.uint8).astype(int)
+    want = [float(units[j::8].sum()) for j in range(8)]
+    tot = sum(want)
+    assert d["features"] == [f / tot for f in want]
+    assert d["decoded_duration_ms"] == mm._stub_len(4) * 1000 // mm.AUDIO_RATE
+
+
+def test_unknown_magic_raises_not_implemented():
+    import pytest as _pytest
+
+    from kgspark.operators import multimodal as mm
+
+    with _pytest.raises(NotImplementedError, match="unrecognized media payload"):
+        mm._decode_payload(b"\x89PNG\r\n\x1a\n....")
