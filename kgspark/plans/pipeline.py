@@ -31,7 +31,7 @@ from kgspark.extract.ner import EXTRACT_SCHEMA, extract_facts
 from kgspark.operators.graph_build import edges_from_triples, nodes_from_triples
 from kgspark.operators.linking import link_facts
 from kgspark.operators.rdf_build import build_triples
-from kgspark.sources import manifests
+from kgspark.sources.table_format import DEFAULT_FORMAT, TableFormat
 
 
 def bucket_col(url_col, n_buckets: int):
@@ -48,8 +48,14 @@ def run_pipeline(
     n_buckets: int = 16,
     salt_buckets: int = 8,
     shuffle_partitions: int | None = None,
+    fmt: TableFormat | None = None,
 ) -> dict:
-    """Run (or resume) the full pipeline; returns stage metrics."""
+    """Run (or resume) the full pipeline; returns stage metrics.
+
+    ``fmt`` is the snapshot/lineage seam (sources/table_format.py):
+    the parquet+manifest implementation by default, an Iceberg catalog
+    in a real deployment."""
+    fmt = fmt or DEFAULT_FORMAT
     metrics: dict = {"snapshot": snapshot}
 
     # ---- stage 1: extraction (bucketed, resumable) ----------------------
@@ -62,7 +68,7 @@ def run_pipeline(
     # n_buckets — would silently keep the previous snapshot's rows and
     # feed them to every downstream stage. (On Iceberg this is the
     # snapshot-replace commit; on plain parquet it has to be explicit.)
-    prev = manifests.read_manifest(out_dir, "extract")
+    prev = fmt.read_snapshot(out_dir, "extract")
     if prev is not None and (
         prev.get("snapshot") != snapshot
         or prev.get("conf", {}).get("n_buckets", n_buckets) != n_buckets
@@ -70,7 +76,7 @@ def run_pipeline(
         import shutil
 
         shutil.rmtree(f"{out_dir}/facts", ignore_errors=True)
-    todo = manifests.pending_buckets(out_dir, "extract", snapshot, all_buckets)
+    todo = fmt.pending_buckets(out_dir, "extract", snapshot, all_buckets)
     if todo:
         src = webpages.withColumn("bucket", bucket_col(F.col("url"), n_buckets))
         if len(todo) < n_buckets:
@@ -98,8 +104,9 @@ def run_pipeline(
         }
         for b in todo:  # empty buckets still count as done
             done_counts.setdefault(b, 0)
-        manifests.record_buckets(
-            out_dir, "extract", snapshot, done_counts, {"n_buckets": n_buckets}
+        fmt.commit_snapshot(
+            out_dir, "extract", snapshot, bucket_rows=done_counts,
+            summary={"conf": {"n_buckets": n_buckets}},
         )
     metrics["extract"] = {
         "skipped_buckets": n_buckets - len(todo),
@@ -116,14 +123,12 @@ def run_pipeline(
 
     # ---- stage 2: entity linking + CC canonicalization ------------------
     t0 = time.time()
-    m = manifests.read_manifest(out_dir, "link")
+    m = fmt.read_snapshot(out_dir, "link")
     if m is None or m.get("snapshot") != snapshot:
         linked = link_facts(facts, aliases, canonicals, "Provider")
         linked.write.mode("overwrite").parquet(f"{out_dir}/linked")
         n = spark.read.parquet(f"{out_dir}/linked").count()
-        manifests.write_manifest(
-            out_dir, "link", {"stage": "link", "snapshot": snapshot, "rows": n}
-        )
+        fmt.commit_snapshot(out_dir, "link", snapshot, summary={"rows": n})
         metrics["link"] = {"rows": n, "sec": round(time.time() - t0, 3)}
     else:
         metrics["link"] = {"rows": m.get("rows"), "sec": 0.0, "resumed": True}
@@ -132,7 +137,7 @@ def run_pipeline(
 
     # ---- stage 3: triple build (set-dedup, salted write) -----------------
     t0 = time.time()
-    m = manifests.read_manifest(out_dir, "triples")
+    m = fmt.read_snapshot(out_dir, "triples")
     if m is None or m.get("snapshot") != snapshot:
         # provenance travels as an 8-byte url hash (joinable back to the
         # facts table's url column) — shipping the url string itself per
@@ -156,11 +161,9 @@ def run_pipeline(
             .parquet(f"{out_dir}/triples")
         )
         n = spark.read.parquet(f"{out_dir}/triples").count()
-        manifests.write_manifest(
-            out_dir,
-            "triples",
-            {"stage": "triples", "snapshot": snapshot, "rows": n,
-             "conf": {"salt_buckets": salt_buckets}},
+        fmt.commit_snapshot(
+            out_dir, "triples", snapshot,
+            summary={"rows": n, "conf": {"salt_buckets": salt_buckets}},
         )
         metrics["triples"] = {"rows": n, "sec": round(time.time() - t0, 3)}
     else:
@@ -170,7 +173,7 @@ def run_pipeline(
 
     # ---- stage 4: property-graph materialize -----------------------------
     t0 = time.time()
-    m = manifests.read_manifest(out_dir, "graph")
+    m = fmt.read_snapshot(out_dir, "graph")
     if m is None or m.get("snapshot") != snapshot:
         nodes = nodes_from_triples(triples)
         edges = edges_from_triples(triples)
@@ -181,10 +184,8 @@ def run_pipeline(
         edges.write.mode("overwrite").partitionBy("rel").parquet(f"{out_dir}/edges")
         nn = spark.read.parquet(f"{out_dir}/nodes").count()
         ne = spark.read.parquet(f"{out_dir}/edges").count()
-        manifests.write_manifest(
-            out_dir,
-            "graph",
-            {"stage": "graph", "snapshot": snapshot, "nodes": nn, "edges": ne},
+        fmt.commit_snapshot(
+            out_dir, "graph", snapshot, summary={"nodes": nn, "edges": ne}
         )
         metrics["graph"] = {"nodes": nn, "edges": ne, "sec": round(time.time() - t0, 3)}
     else:

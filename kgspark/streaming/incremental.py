@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from kgspark.datagen import WEBPAGE_SCHEMA
 from kgspark.extract.ner import extract_facts
 from kgspark.plans.pipeline import bucket_col
-from kgspark.sources import manifests
+from kgspark.sources.table_format import DEFAULT_FORMAT
 
 
 def incremental_extract(
@@ -63,12 +63,13 @@ def incremental_extract(
             .partitionBy("batch", "bucket")
             .parquet(f"{out_dir}/facts")
         )
-        manifests.record_buckets(
+        DEFAULT_FORMAT.commit_snapshot(
             out_dir,
             "stream_extract",
             "streaming",
-            {-1: batch_id},  # batch ledger; bucket-granular counts live in batch mode
-            {"n_buckets": n_buckets, "last_batch_id": batch_id},
+            # batch ledger; bucket-granular counts live in batch mode
+            bucket_rows={-1: batch_id},
+            summary={"conf": {"n_buckets": n_buckets, "last_batch_id": batch_id}},
         )
         batches["n"] += 1
 
@@ -459,12 +460,12 @@ def incremental_link_triples(
     _overwrite_parquet(triples, f"{state_dir}/triples")
 
     n_triples = spark.read.parquet(f"{state_dir}/triples").count()
-    manifests.record_buckets(
+    DEFAULT_FORMAT.commit_snapshot(
         state_dir,
         "stream_link_triples",
         "streaming",
-        {-1: n_triples},
-        {"n_triples": n_triples},
+        bucket_rows={-1: n_triples},
+        summary={"conf": {"n_triples": n_triples}},
     )
     return {"n_triples": n_triples}
 
