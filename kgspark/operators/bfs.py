@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kgspark.runtime import materialize, materialize_enabled
+
 
 def k_hop_nodes(
     edges: DataFrame,
@@ -23,6 +25,7 @@ def k_hop_nodes(
     dst: str = "dst",
     directed: bool = True,
     frontier_sizes: list[int] | None = None,
+    materialize_adjacency: bool | None = None,
 ) -> DataFrame:
     """Nodes reachable from ``start_node`` within ``max_depth`` hops.
 
@@ -43,12 +46,25 @@ def k_hop_nodes(
 
     ``frontier_sizes``, if given, receives the per-depth kept-frontier
     row counts (observability + tests).
+
+    ``materialize_adjacency`` — the adjacency feeds one join per depth,
+    so caching its distinct-ed form is a reuse boundary (the default,
+    KGSPARK_MATERIALIZE-gated like every other one). On a web-scale
+    graph pass ``False``: the full-graph distinct shuffle + executor
+    storage would dwarf a bounded ≤``max_nodes`` traversal, and each
+    depth instead broadcast-joins the tiny frontier straight against
+    the source-backed edge scan (filter-free scan per depth, zero graph
+    materialization). Duplicate edges are collapsed by the frontier's
+    own ``distinct`` either way, so the result is identical.
     """
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if not directed:
         e = e.unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    e = e.distinct().localCheckpoint()
+    if materialize_adjacency is None:
+        materialize_adjacency = materialize_enabled()
+    if materialize_adjacency:
+        e = materialize(e.distinct())
 
     visited = spark.createDataFrame(
         [(start_node, 0)], schema="node string, depth int"
@@ -60,11 +76,14 @@ def k_hop_nodes(
         remaining = max_nodes - n_visited
         if remaining <= 0:
             break
+        # frontier and visited are both bounded by max_nodes rows —
+        # broadcast them explicitly so neither join ever shuffles the
+        # edge side (hash-exchange of 10^12 edges to visit ≤50 nodes).
         nxt = (
-            e.join(frontier, e.a == frontier.node)
+            e.join(F.broadcast(frontier), e.a == frontier.node)
             .select(F.col("b").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(F.broadcast(visited), "node", "left_anti")
             .withColumn("depth", F.lit(depth))
         )
         # orderBy + limit compiles to TakeOrderedAndProject (top-k per
@@ -82,7 +101,13 @@ def k_hop_nodes(
         # max_depth already-checkpointed frontiers (shallow lineage).
         visited = visited.unionByName(frontier)
 
-    return visited.orderBy("depth", "node").limit(max_nodes)
+    out = visited.orderBy("depth", "node").limit(max_nodes)
+    if materialize_adjacency:
+        # every frontier is already eagerly checkpointed, so the result
+        # no longer depends on the adjacency blocks — release them
+        # instead of pinning the whole graph for the session's life.
+        e.unpersist()
+    return out
 
 
 def k_hop_subgraph(
@@ -94,17 +119,19 @@ def k_hop_subgraph(
     dst: str = "dst",
     rel: str | None = "rel",
     directed: bool = True,
+    materialize_adjacency: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(nodes, induced edges) of the capped k-hop neighborhood; pass
     ``directed=False`` for the undirected frontier (same flag as
     ``k_hop_nodes`` — previously unreachable through this API)."""
     nodes = k_hop_nodes(
-        edges, start_node, max_depth, max_nodes, src, dst, directed=directed
+        edges, start_node, max_depth, max_nodes, src, dst, directed=directed,
+        materialize_adjacency=materialize_adjacency,
     )
     keep = nodes.select("node")
     sub_edges = (
-        edges.join(keep.withColumnRenamed("node", src), src)
-        .join(keep.withColumnRenamed("node", dst), dst)
+        edges.join(F.broadcast(keep.withColumnRenamed("node", src)), src)
+        .join(F.broadcast(keep.withColumnRenamed("node", dst)), dst)
     )
     cols = [src, dst] + ([rel] if rel and rel in edges.columns else [])
     return nodes, sub_edges.select(*cols)

@@ -177,3 +177,23 @@ def test_bfs_hub_fanout_prunes_frontier_to_cap(spark):
     # when the cap does not bind, pruning must be a no-op
     full = k_hop_nodes(edf, "hub", max_depth=1, max_nodes=10_000)
     assert full.count() == 501
+
+
+def test_bfs_scan_per_depth_arm_is_identical(spark):
+    """materialize_adjacency=False (the web-scale arm: no full-graph
+    distinct/checkpoint, frontier broadcast against the raw edge scan)
+    must return exactly the materialized arm's rows — including with
+    duplicate and reverse-duplicate edges, whose collapsing moves from
+    the adjacency distinct to the frontier distinct."""
+    edges = [("a", "b"), ("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("a", "e")]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    for directed in (True, False):
+        mat = k_hop_nodes(
+            edf, "a", max_depth=2, max_nodes=4, directed=directed,
+            materialize_adjacency=True,
+        ).collect()
+        scan = k_hop_nodes(
+            edf, "a", max_depth=2, max_nodes=4, directed=directed,
+            materialize_adjacency=False,
+        ).collect()
+        assert [(r.node, r.depth) for r in mat] == [(r.node, r.depth) for r in scan]

@@ -168,9 +168,22 @@ def main() -> None:
             zip_path = build(f"{base}/kgspark.zip")
 
         results = {}
+        # KGSPARK_SCALING_COOLDOWN: idle seconds before each leg. The
+        # sandbox VM clamps clock speed under sustained load and
+        # recovers when idle (measured: cpu_scaling_efficiency 0.81 hot
+        # vs 0.95 after idle), so back-to-back legs hand the SECOND leg
+        # a throttled box. A cooldown puts both legs on comparable
+        # thermal footing — measurement hygiene, not a thumb on the
+        # scale (it raises the small leg's baseline exactly as much as
+        # the big leg's).
+        cooldown = int(os.environ.get("KGSPARK_SCALING_COOLDOWN", "0"))
         for cpus in LEGS:
             best = None
             for attempt in range(int(os.environ.get("KGSPARK_SCALING_ATTEMPTS", "1"))):
+                if cooldown:
+                    print(f"cooldown {cooldown}s before local[{cpus}] ...",
+                          file=sys.stderr)
+                    time.sleep(cooldown)
                 out = f"{base}/out{cpus}-{attempt}"
                 if spark_submit:
                     # driver JVM flags must come from spark-submit itself:
@@ -195,9 +208,20 @@ def main() -> None:
                         # leg with extra per-task overhead; a real 4N
                         # cluster scales partitions with executors, see
                         # BENCH/BASELINE.md round-3 notes).
-                        "--shuffle-partitions",
-                        os.environ.get(
-                            "KGSPARK_SCALING_SHUFFLE", str(max(LEGS))
+                        # KGSPARK_SCALING_SHUFFLE=cores: deployment
+                        # model — each leg derives partitions from its
+                        # own local[N], what AQE / a real 4N cluster
+                        # does (the round-3 headline configuration).
+                        *(
+                            []
+                            if os.environ.get("KGSPARK_SCALING_SHUFFLE")
+                            == "cores"
+                            else [
+                                "--shuffle-partitions",
+                                os.environ.get(
+                                    "KGSPARK_SCALING_SHUFFLE", str(max(LEGS))
+                                ),
+                            ]
                         ),
                     ]
                     env = dict(os.environ, PYTHONPATH="")
