@@ -154,6 +154,25 @@ def main() -> None:
     pipeline = runs[len(runs) // 2]
     total += pipeline["pipeline_sec"]
 
+    # Box-state calibration, so readings are comparable ACROSS sessions:
+    # the sandbox VM's single-core speed is stable but its per-Spark-job
+    # overhead has been observed to move >10x between sessions (same
+    # code, same data). cpu_mops = single-process busy-loop throughput;
+    # spark_job_ms = median wall of a trivial 32-task count — together
+    # they say whether a total moved because the engine changed or the
+    # box did.
+    t0 = time.time()
+    acc = 0
+    for i in range(20_000_000):
+        acc += i * i % 7
+    cpu_mops = round(20_000_000 / (time.time() - t0) / 1e6, 1)
+    noop = []
+    for _ in range(5):
+        t0 = time.time()
+        spark.range(1_000_000, numPartitions=cpus).count()
+        noop.append(time.time() - t0)
+    spark_job_ms = round(statistics.median(noop) * 1000, 1)
+
     print(
         json.dumps(
             {
@@ -164,6 +183,10 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "pipeline": pipeline,
+                "calibration": {
+                    "cpu_mops": cpu_mops,
+                    "spark_job_ms": spark_job_ms,
+                },
             }
         )
     )
