@@ -2293,10 +2293,18 @@ def nl_route_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(q,) for q in nl_router.CANONICAL_QUESTIONS], ["question"]
         )
     )
+    # ONE distributed routing pass for all five questions, then local
+    # shape dispatch from its rows (route_and_execute per question
+    # would pay a tiny routing job each) — same route→execute
+    # composition, through the same Spark column router.
+    routes = {r.question: r for r in routed.collect()}
     _, nodes, edges = _healthcare_graph(spark)
     per_q = []
     for q in nl_router.CANONICAL_QUESTIONS:
-        res = nl_router.route_and_execute(nodes, edges, q)
+        r = routes[q]
+        res = nl_router.execute_shape(
+            nodes, edges, r.shape, r.provider_q, r.location_q, q
+        )
         rs = F.concat_ws(
             "\x01",
             *[

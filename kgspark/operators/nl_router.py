@@ -159,26 +159,21 @@ def oracle_case_sql(qexpr: str) -> str:
 # without the LLM: route_question() classifies + extracts anchors, the
 # matched shape runs as its DataFrame plan.
 
-def route_and_execute(
-    nodes: DataFrame, edges: DataFrame, question: str
+def execute_shape(
+    nodes: DataFrame,
+    edges: DataFrame,
+    shape: str,
+    provider_q: str | None,
+    location_q: str | None,
+    question: str = "",
 ) -> DataFrame:
-    """Answer a natural-language question against the KG: route it to
-    one of the five implemented query shapes and execute that shape
-    with the extracted anchors. Raises ValueError for questions no
-    shape covers (the reference would fall back to the LLM here).
-
-    Routing itself is the same pure-expression logic as
-    ``route_questions`` — this convenience evaluates it driver-side for
-    a single question; batch workloads should route the whole question
-    table distributed and dispatch per shape partition.
-    """
+    """Dispatch an already-routed (shape, anchors) triple to its query
+    plan. Raises ValueError when the shape is unknown or a required
+    anchor is missing — callers that routed a whole question table
+    distributed (``route_questions`` + collect) dispatch through this
+    directly, paying zero extra Spark jobs per question."""
     from kgspark.operators import kg_queries as kq
 
-    spark = nodes.sparkSession
-    row = route_questions(
-        spark.createDataFrame([(question,)], ["question"])
-    ).first()
-    shape, provider_q, location_q = row.shape, row.provider_q, row.location_q
     # A shape whose required anchors didn't extract is NOT covered: e.g.
     # 'How many patients are treated in total?' routes to shape5 but has
     # no provider/location anchor — dispatching anyway would crash the
@@ -213,4 +208,27 @@ def route_and_execute(
     raise ValueError(
         f"no deterministic shape covers {question!r} (routed {shape}); "
         "the reference delegates such questions to its LLM generator"
+    )
+
+
+def route_and_execute(
+    nodes: DataFrame, edges: DataFrame, question: str
+) -> DataFrame:
+    """Answer a natural-language question against the KG: route it to
+    one of the five implemented query shapes and execute that shape
+    with the extracted anchors. Raises ValueError for questions no
+    shape covers (the reference would fall back to the LLM here).
+
+    Routing itself is the same pure-expression logic as
+    ``route_questions`` — this convenience evaluates it driver-side for
+    a single question (one tiny Spark job); batch workloads should
+    route the whole question table distributed, collect the routing
+    rows, and dispatch each through ``execute_shape``.
+    """
+    spark = nodes.sparkSession
+    row = route_questions(
+        spark.createDataFrame([(question,)], ["question"])
+    ).first()
+    return execute_shape(
+        nodes, edges, row.shape, row.provider_q, row.location_q, question
     )
