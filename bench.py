@@ -151,7 +151,10 @@ def main() -> None:
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
     runs.sort(key=lambda r: r["pipeline_sec"])
-    pipeline = runs[len(runs) // 2]
+    # lower-middle for even counts: a dict has no "mean of the middle
+    # pair", and picking the upper-middle would bias the pipeline term
+    # upward relative to the queries' statistics.median
+    pipeline = runs[(len(runs) - 1) // 2]
     total += pipeline["pipeline_sec"]
 
     # Box-state calibration, so readings are comparable ACROSS sessions:

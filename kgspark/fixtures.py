@@ -114,6 +114,30 @@ def ensure_pipeline_fixture() -> str:
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
         json.dump(meta, f)
 
-    shutil.rmtree(PIPELINE_FIXTURE_DIR, ignore_errors=True)
-    os.replace(tmp, PIPELINE_FIXTURE_DIR)
+    # Near-atomic publish under concurrency (parallel pytest workers /
+    # driver + test runs can regenerate simultaneously): rename the old
+    # fixture ASIDE, swap the new one in, then delete the old — readers
+    # see a missing dir only between two rename syscalls, not for the
+    # whole rmtree+rebuild. If another process won the race (rename
+    # fails because its fresh fixture now occupies the target), adopt
+    # its copy and discard ours — the stamp check proves equivalence.
+    trash = PIPELINE_FIXTURE_DIR + f".old-{os.getpid()}"
+    try:
+        os.rename(PIPELINE_FIXTURE_DIR, trash)
+    except FileNotFoundError:
+        pass
+    try:
+        os.rename(tmp, PIPELINE_FIXTURE_DIR)
+    except OSError:
+        try:
+            with open(meta_path) as f:
+                fresh = json.load(f) == meta
+        except (OSError, ValueError):
+            fresh = False
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+        if fresh:
+            return PIPELINE_FIXTURE_DIR
+        raise
+    shutil.rmtree(trash, ignore_errors=True)
     return PIPELINE_FIXTURE_DIR

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kgspark.runtime import materialize, materialize_enabled
+from kgspark.runtime import materialize_enabled
 
 
 def k_hop_nodes(
@@ -64,7 +64,12 @@ def k_hop_nodes(
     if materialize_adjacency is None:
         materialize_adjacency = materialize_enabled()
     if materialize_adjacency:
-        e = materialize(e.distinct())
+        # persist, NOT localCheckpoint: the adjacency is source-backed
+        # (no iterative lineage to truncate), persist keeps it
+        # recomputable on executor loss, and — unlike localCheckpoint
+        # blocks, which only the ContextCleaner eventually drops —
+        # unpersist() below actually releases the storage.
+        e = e.distinct().persist()
 
     visited = spark.createDataFrame(
         [(start_node, 0)], schema="node string, depth int"

@@ -360,10 +360,16 @@ def resolve_mapping(
     # guarantees that — a dirty 50M-row alias table with 10k mentions
     # must take the distributed tiers, not OOM the driver (symmetric
     # with connected_components_auto's dual node/edge guard, cc.py).
+    # The dim probes are BOUNDED (limit(cap+1)): the guard only needs
+    # "≤ cap or not", and an unbounded count() would full-scan a 50M-row
+    # alias table on every call — the incremental stage calls this once
+    # per micro-batch with the same static dims, so the probe cost
+    # recurs (LocalLimit early-exits the scan at cap+1 rows instead).
     n_mentions = distinct_mentions.count()
-    dims_fit = (
-        n_mentions <= driver_max_mentions
-        and aliases.count() + canonicals.count() <= driver_max_dims
+    dims_fit = n_mentions <= driver_max_mentions and (
+        aliases.limit(driver_max_dims + 1).count()
+        + canonicals.limit(driver_max_dims + 1).count()
+        <= driver_max_dims
     )
     if dims_fit:
         sample = distinct_mentions.collect()

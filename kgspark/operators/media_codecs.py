@@ -64,6 +64,11 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
     bottom_up = height > 0
     height = abs(height)
     row_size = (width * 3 + 3) & ~3
+    if len(data) < off + row_size * height:
+        # explicit, like decode_ppm's check: a truncated pixel array
+        # would otherwise yield silently short RGB output (step-1 slice
+        # assignment resizes the bytearray) or an opaque slice error
+        raise ValueError("truncated BMP pixel data")
     rgb = bytearray(width * height * 3)
     for y in range(height):
         src_y = (height - 1 - y) if bottom_up else y

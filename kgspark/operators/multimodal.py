@@ -154,6 +154,11 @@ def decode_and_featurize(
     observable/testable (media batches must stay small; configured via
     spark.sql.execution.arrow.maxRecordsPerBatch).
     """
+    if decoder == "stub":
+        # pre-round-4 name for the only decode mode; the sniffer decodes
+        # the synthetic KGSM payloads identically, so the old value is
+        # an alias, not an error
+        decoder = "auto"
     if decoder != "auto":
         raise NotImplementedError(
             f"decoder={decoder!r}: payloads are format-sniffed; compressed "

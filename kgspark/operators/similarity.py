@@ -288,9 +288,15 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    carry_norms: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine
-    (deterministic tie-break on centroid id). Centroids broadcast."""
+    (deterministic tie-break on centroid id). Centroids broadcast.
+
+    ``carry_norms=True`` additionally returns the double-cast vector and
+    its squared norm (``v_vec``, ``v_ns``) that assignment already
+    computed, so a downstream scoring stage (ivf_topk's confirm join)
+    does not recompute them per row."""
     c = _with_norm_sq(
         centroids.select(
             F.col(centroid_id_col).alias("centroid_id"), F.col(vec_col).alias("c_raw")
@@ -307,11 +313,11 @@ def ivf_assign(
         ),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", F.col("v_raw").alias("embedding"))
-    )
+    picked = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    cols = ["vec_id", "centroid_id", F.col("v_raw").alias("embedding")]
+    if carry_norms:
+        cols += [F.col("v_vec"), F.col("v_ns")]
+    return picked.select(*cols)
 
 
 def ivf_probe_assign(
@@ -364,12 +370,9 @@ def ivf_topk(
     buckets (a neighbor lives in exactly one bucket, so multi-probe
     needs no dedup — just a wider probe join feeding the same global
     per-query top-k)."""
-    assigned = _with_norm_sq(
-        ivf_assign(vectors, centroids, id_col, vec_col).withColumnRenamed(
-            "vec_id", "neighbor_id"
-        ),
-        "embedding", "v_vec", "v_ns",
-    )
+    assigned = ivf_assign(
+        vectors, centroids, id_col, vec_col, carry_norms=True
+    ).withColumnRenamed("vec_id", "neighbor_id")
     q_assigned = ivf_probe_assign(queries, centroids, nprobe, id_col, vec_col)
     scored = (
         assigned.join(F.broadcast(q_assigned), "centroid_id")

@@ -70,8 +70,14 @@ def record_buckets(
     snapshot: str,
     bucket_rows: dict[int, int],
     conf: dict | None = None,
+    extra: dict | None = None,
 ) -> None:
-    """Merge newly-completed buckets into the stage manifest."""
+    """Merge newly-completed buckets into the stage manifest.
+
+    ``extra``: additional summary keys stamped on the manifest alongside
+    the bucket increment (reserved keys are the merge's own and cannot
+    be overridden) — so a commit that carries both bucket progress AND
+    stage-level summary fields loses nothing."""
     m = read_manifest(out_dir, stage)
     if m is None or m.get("snapshot") != snapshot:
         m = {"stage": stage, "snapshot": snapshot, "buckets_done": [], "rows": {}}
@@ -79,7 +85,9 @@ def record_buckets(
     for b, n in bucket_rows.items():
         rows[str(b)] = n
     done = sorted(set(m.get("buckets_done", [])) | set(bucket_rows))
+    reserved = {"stage", "snapshot", "buckets_done", "rows", "conf"}
     payload = {
+        **{k: v for k, v in (extra or {}).items() if k not in reserved},
         "stage": stage,
         "snapshot": snapshot,
         "buckets_done": done,

@@ -86,9 +86,13 @@ class ManifestTableFormat(TableFormat):
         summary: dict[str, Any] | None = None,
     ) -> None:
         if bucket_rows is not None:
+            # forward ALL summary keys, not just conf — a commit that
+            # stamps e.g. row totals alongside a bucket increment must
+            # not silently lose them
+            s = dict(summary or {})
             manifests.record_buckets(
                 out_dir, stage, snapshot, bucket_rows,
-                (summary or {}).get("conf"),
+                s.pop("conf", None), extra=s,
             )
             return
         manifests.write_manifest(

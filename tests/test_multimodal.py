@@ -144,3 +144,23 @@ def test_unknown_magic_raises_not_implemented():
 
     with _pytest.raises(NotImplementedError, match="unrecognized media payload"):
         mm._decode_payload(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_stub_decoder_value_is_an_alias_of_auto(spark, media):
+    """decoder="stub" (the pre-round-4 name) must behave exactly like
+    the sniffer default, not raise."""
+    a = mm.decode_and_featurize(media, decoder="auto").orderBy("media_id").collect()
+    s = mm.decode_and_featurize(media, decoder="stub").orderBy("media_id").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in s]
+
+
+def test_truncated_bmp_raises_value_error():
+    from kgspark.operators import media_codecs as mc
+
+    full = mc.encode_bmp(4, 3, bytes(range(36)))
+    with pytest.raises(ValueError, match="truncated BMP"):
+        mc.decode_bmp(full[:-5])
+    # truncation that lands on a 3-byte boundary must ALSO raise (the
+    # step-1 slice assignment would otherwise silently shorten the rgb)
+    with pytest.raises(ValueError, match="truncated BMP"):
+        mc.decode_bmp(full[:-6])

@@ -128,3 +128,28 @@ def test_new_snapshot_truncates_stale_buckets(spark, tmp_path):
     got = spark.read.parquet(f"{out}/facts").drop("bucket").count()
     want = extract_facts(subset).count()
     assert got == want, f"stale facts leaked across snapshots: {got} != {want}"
+
+
+def test_bucket_commit_keeps_summary_keys(tmp_path):
+    """A commit carrying BOTH a bucket increment and stage-level summary
+    fields must not silently drop the summary (TableFormat contract)."""
+    from kgspark.sources.table_format import ManifestTableFormat
+
+    fmt = ManifestTableFormat()
+    out = str(tmp_path)
+    fmt.commit_snapshot(
+        out, "extract", "snapA", bucket_rows={0: 10, 3: 7},
+        summary={"conf": {"n_buckets": 4}, "total_rows": 17},
+    )
+    m = fmt.read_snapshot(out, "extract")
+    assert m["conf"] == {"n_buckets": 4}
+    assert m["rows"] == {"0": 10, "3": 7}
+    assert m["total_rows"] == 17
+    # reserved keys can never be clobbered by summary passthrough
+    fmt.commit_snapshot(
+        out, "extract", "snapA", bucket_rows={1: 5},
+        summary={"snapshot": "EVIL", "rows": "EVIL"},
+    )
+    m = fmt.read_snapshot(out, "extract")
+    assert m["snapshot"] == "snapA"
+    assert m["rows"] == {"0": 10, "3": 7, "1": 5}
