@@ -110,9 +110,12 @@ def main() -> None:
 
     bench_queries = list(QUERIES)
 
+    from kgspark.runtime import release_materialized
+
     # untimed warm pass: parquet footer/page cache, per-shape codegen
     for name in bench_queries:
         force(QUERIES[name](spark, sf_dir))
+        release_materialized()
 
     # median of N timed runs to tame run-to-run VM noise; default 3
     # because the median of 2 samples is just their mean — only an odd
@@ -124,6 +127,10 @@ def main() -> None:
             t0 = time.time()
             force(QUERIES[name](spark, sf_dir))
             samples[name].append(time.time() - t0)
+            # free the reuse-boundary persists this query registered:
+            # 50 queries x N runs would otherwise accumulate dead
+            # cached blocks for the whole session (runtime.py)
+            release_materialized()
 
     queries: dict[str, float] = {}
     total = 0.0
@@ -151,10 +158,26 @@ def main() -> None:
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
     runs.sort(key=lambda r: r["pipeline_sec"])
-    # lower-middle for even counts: a dict has no "mean of the middle
-    # pair", and picking the upper-middle would bias the pipeline term
-    # upward relative to the queries' statistics.median
-    pipeline = runs[(len(runs) - 1) // 2]
+    # true median: odd counts take the middle run; even counts take the
+    # lower-middle run's dict but average the two middle runs' timing
+    # fields (either middle alone would bias the reported pipeline term
+    # relative to the queries' statistics.median)
+    lo = runs[(len(runs) - 1) // 2]
+    hi = runs[len(runs) // 2]
+    pipeline = dict(lo)
+    if hi is not lo:
+        for k in ("pipeline_sec", "docs_per_sec", "triples_per_sec",
+                  "extract_sec"):
+            if k in lo and k in hi:
+                pipeline[k] = round((lo[k] + hi[k]) / 2, 3)
+        if "stage_sec" in lo and "stage_sec" in hi:
+            pipeline["stage_sec"] = {
+                k: round((v + hi["stage_sec"][k]) / 2, 3)
+                if isinstance(v, (int, float))
+                and isinstance(hi["stage_sec"].get(k), (int, float))
+                else v
+                for k, v in lo["stage_sec"].items()
+            }
     total += pipeline["pipeline_sec"]
 
     # Box-state calibration, so readings are comparable ACROSS sessions:

@@ -122,6 +122,10 @@ def ensure_pipeline_fixture() -> str:
     # fails because its fresh fixture now occupies the target), adopt
     # its copy and discard ours — the stamp check proves equivalence.
     trash = PIPELINE_FIXTURE_DIR + f".old-{os.getpid()}"
+    # A crashed prior run with a recycled pid can leave this exact trash
+    # dir behind; rename onto a non-empty dir raises ENOTEMPTY, so
+    # pre-clean it (mirror of the tmp pre-clean above).
+    shutil.rmtree(trash, ignore_errors=True)
     try:
         os.rename(PIPELINE_FIXTURE_DIR, trash)
     except FileNotFoundError:

@@ -64,7 +64,9 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
     bottom_up = height > 0
     height = abs(height)
     row_size = (width * 3 + 3) & ~3
-    if len(data) < off + row_size * height:
+    # The final stored row only needs its width*3 pixel bytes — writers
+    # may legally omit the trailing row padding, so don't demand it.
+    if len(data) < off + row_size * (height - 1) + width * 3:
         # explicit, like decode_ppm's check: a truncated pixel array
         # would otherwise yield silently short RGB output (step-1 slice
         # assignment resizes the bytearray) or an opaque slice error

@@ -1,15 +1,24 @@
 """Execution-boundary helpers shared by the operator modules.
 
-``materialize`` is the one knob for the eager ``localCheckpoint`` calls
-operators place at reuse boundaries (a subtree with 2+ consumers, or a
-self-join over an expensive signature table). Materializing there is
-the right default for batch jobs — it evaluates the subtree once
-instead of per consumer — but it pins executor storage for the life of
-the session and makes the frame non-recomputable on executor loss
-(localCheckpoint blocks are unrecoverable), which long-lived library
-sessions may not want. Those callers set ``KGSPARK_MATERIALIZE=0`` (or
-pass ``materialize=False`` where an operator exposes the flag) and take
-the recompute instead; production pipelines write a real table at these
+``materialize`` is the one knob for the caching operators place at
+reuse boundaries (a subtree with 2+ consumers, or a self-join over an
+expensive signature table). Evaluating the subtree once instead of per
+consumer is the right default for batch jobs, so the helper persists at
+``MEMORY_AND_DISK``; unlike the ``localCheckpoint`` it used through
+round 4, persisted blocks are (a) releasable — ``release_materialized``
+/ ``DataFrame.unpersist`` actually frees executor storage, so a
+long-lived session running many operator invocations does not
+accumulate dead blocks — and (b) recomputable on executor loss
+(checkpoint blocks are neither; see operators/bfs.py:67 for the
+same fix applied to BFS's loop state in round 4).
+
+Every persisted frame is also tracked in a session-scoped registry:
+callers that consume an operator's output and are done with it call
+``release_materialized()`` to unpersist everything materialized since
+the last release (bench.py does this between queries). Libraries that
+want no caching at all set ``KGSPARK_MATERIALIZE=0`` (or pass
+``materialize=False`` where an operator exposes the flag) and take the
+recompute instead; production pipelines write a real table at these
 boundaries (plans/pipeline.py), which needs neither.
 """
 
@@ -17,7 +26,13 @@ from __future__ import annotations
 
 import os
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+# Frames persisted by materialize() that have not been released yet.
+# Strong refs are fine: the registry exists precisely so the blocks'
+# lifetime is explicit, and release_materialized() drops them.
+_LIVE: list[DataFrame] = []
 
 
 def materialize_enabled() -> bool:
@@ -25,8 +40,31 @@ def materialize_enabled() -> bool:
 
 
 def materialize(df: DataFrame, enabled: bool | None = None) -> DataFrame:
-    """Eagerly localCheckpoint ``df`` at a reuse boundary (see module
-    docstring); identity when disabled."""
+    """Persist ``df`` (MEMORY_AND_DISK) at a reuse boundary (see module
+    docstring) and register it for ``release_materialized``; identity
+    when disabled. Lazy: the first consuming action computes and caches
+    the subtree, later consumers read the cache."""
     if enabled is None:
         enabled = materialize_enabled()
-    return df.localCheckpoint(eager=True) if enabled else df
+    if not enabled:
+        return df
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE.append(out)
+    return out
+
+
+def release_materialized() -> int:
+    """Unpersist every frame ``materialize`` registered since the last
+    release; returns how many were released. Call after the consuming
+    action (collect/write) of an operator whose output you are done
+    with — blocking=False, so this only marks blocks for removal."""
+    n = 0
+    while _LIVE:
+        df = _LIVE.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            # session already stopped — nothing to free
+            pass
+    return n

@@ -86,7 +86,12 @@ def record_buckets(
         rows[str(b)] = n
     done = sorted(set(m.get("buckets_done", [])) | set(bucket_rows))
     reserved = {"stage", "snapshot", "buckets_done", "rows", "conf"}
+    # Non-reserved summary keys from PRIOR commits carry forward (same
+    # as conf): a bucket-only commit must not silently drop the extras a
+    # previous commit stamped — the 'loses nothing' contract is for the
+    # manifest's whole life on this snapshot, not per call.
     payload = {
+        **{k: v for k, v in m.items() if k not in reserved},
         **{k: v for k, v in (extra or {}).items() if k not in reserved},
         "stage": stage,
         "snapshot": snapshot,

@@ -58,6 +58,7 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry_mod
+    from kgspark.runtime import release_materialized
     from kgspark.session import get_spark
 
     spark = get_spark("check-oracles", master="local[8]", shuffle_partitions=8)
@@ -77,6 +78,7 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            release_materialized()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
