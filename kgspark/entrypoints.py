@@ -2287,43 +2287,51 @@ def nl_route_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rlike + regexp_extract): a table of millions of questions routes
     with zero Python in the loop."""
     from kgspark.operators import nl_router
+    from kgspark.operators.nl_batch import execute_routed_grouped
 
     routed = nl_router.route_questions(
         spark.createDataFrame(
             [(q,) for q in nl_router.CANONICAL_QUESTIONS], ["question"]
         )
     )
-    # ONE distributed routing pass for all five questions, then local
-    # shape dispatch from its rows (route_and_execute per question
-    # would pay a tiny routing job each) — same route→execute
-    # composition, through the same Spark column router.
-    routes = {r.question: r for r in routed.collect()}
+    # Fully distributed route→execute: the routed table dispatches
+    # GROUPED BY SHAPE (operators/nl_batch.py) — ≤5 plans for any
+    # number of questions, batched anchor resolution, zero driver-side
+    # per-question loop. The per-shape frames reduce to the same
+    # (exec_rows, exec_digest) the oracle computes per question.
     _, nodes, edges = _healthcare_graph(spark)
-    per_q = []
-    for q in nl_router.CANONICAL_QUESTIONS:
-        r = routes[q]
-        res = nl_router.execute_shape(
-            nodes, edges, r.shape, r.provider_q, r.location_q, q
-        )
+    grouped = execute_routed_grouped(nodes, edges, routed)
+    per_shape = []
+    for shape, df in grouped.items():
+        cols = sorted(c for c in df.columns if c != "question")
         rs = F.concat_ws(
             "\x01",
             *[
                 F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
-                for c in sorted(res.columns)
+                for c in cols
             ],
         )
-        per_q.append(
-            res.select(rs.alias("rs")).agg(
+        per_shape.append(
+            df.select("question", rs.alias("rs"))
+            .groupBy("question")
+            .agg(
                 F.count("*").alias("exec_rows"),
                 F.md5(
                     F.concat_ws("\n", F.array_sort(F.collect_list("rs")))
                 ).alias("exec_digest"),
-            ).select(F.lit(q).alias("question"), "exec_rows", "exec_digest")
+            )
         )
-    exec_df = per_q[0]
-    for d in per_q[1:]:
+    exec_df = per_shape[0]
+    for d in per_shape[1:]:
         exec_df = exec_df.unionByName(d)
-    return routed.join(exec_df, "question")
+    # A question whose shape executed to ZERO rows has no group above;
+    # it must still report (0, md5('')) exactly as the oracle's global
+    # aggregate does.
+    return routed.join(exec_df, "question", "left").select(
+        routed["*"],
+        F.coalesce(F.col("exec_rows"), F.lit(0).cast("long")).alias("exec_rows"),
+        F.coalesce(F.col("exec_digest"), F.md5(F.lit(""))).alias("exec_digest"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -221,9 +221,12 @@ def route_and_execute(
 
     Routing itself is the same pure-expression logic as
     ``route_questions`` — this convenience evaluates it driver-side for
-    a single question (one tiny Spark job); batch workloads should
-    route the whole question table distributed, collect the routing
-    rows, and dispatch each through ``execute_shape``.
+    a single question (one tiny Spark job). Batch workloads use the
+    grouped distributed dispatcher instead
+    (``operators/nl_batch.execute_routed_grouped``): route the whole
+    question table with ``route_questions``, then execute grouped by
+    shape — ≤5 plans for any number of questions, no per-question
+    driver loop.
     """
     spark = nodes.sparkSession
     row = route_questions(

@@ -101,3 +101,82 @@ def test_route_and_execute_missing_anchor_raises_valueerror(spark):
     ]:
         with pytest.raises(ValueError, match="no deterministic shape"):
             nl_router.route_and_execute(nodes, edges, q)
+
+
+def test_batched_dispatch_matches_scalar_per_question(spark):
+    """Row-set parity of the grouped distributed dispatcher
+    (operators/nl_batch.py) with the scalar execute_shape path, per
+    canonical question, on the reference-CSV graph."""
+    from kgspark.operators import nl_router
+    from kgspark.operators.graph_build import (
+        edges_from_triples,
+        nodes_from_triples,
+    )
+    from kgspark.operators.nl_batch import (
+        execute_routed,
+        execute_routed_grouped,
+    )
+    from kgspark.operators.rdf_build import build_triples
+    from kgspark.sources.csv_source import read_fact_csv
+
+    triples = build_triples(
+        read_fact_csv(spark, "/root/reference/data/healthcare.csv")
+    ).localCheckpoint(eager=True)
+    nodes = nodes_from_triples(triples).localCheckpoint(eager=True)
+    edges = edges_from_triples(triples).localCheckpoint(eager=True)
+
+    routed = nl_router.route_questions(
+        spark.createDataFrame(
+            [(q,) for q in nl_router.CANONICAL_QUESTIONS], ["question"]
+        )
+    )
+    grouped = execute_routed_grouped(nodes, edges, routed)
+    routes = {r.question: r for r in routed.collect()}
+    n_batched_total = 0
+    for q, r in routes.items():
+        scalar = nl_router.execute_shape(
+            nodes, edges, r.shape, r.provider_q, r.location_q, q
+        )
+        shape_df = grouped[r.shape]
+        batched = shape_df.filter(shape_df.question == q).select(
+            *scalar.columns  # same names, scalar column order
+        )
+        got = sorted(map(tuple, batched.collect()))
+        want = sorted(map(tuple, scalar.collect()))
+        assert got == want, f"{q}: batched {got} != scalar {want}"
+        n_batched_total += len(got)
+    assert n_batched_total > 0
+
+    # the unified JSON view carries one row per result row, every
+    # question tagged with its routed shape
+    uni = execute_routed(nodes, edges, routed)
+    assert uni.count() == n_batched_total
+    tags = {(r.question, r.shape) for r in uni.select("question", "shape").distinct().collect()}
+    assert tags == {(q, r.shape) for q, r in routes.items()}
+
+
+def test_batched_dispatch_skips_unroutable_and_anchorless(spark):
+    """Unknown-shape and anchor-missing questions produce no rows in
+    the grouped dispatcher (the scalar path raises; batch callers
+    anti-join to find them)."""
+    from kgspark.operators import nl_router
+    from kgspark.operators.nl_batch import execute_routed_grouped
+
+    nodes = spark.createDataFrame(
+        [("p1", "HealthcareProvider", "Dr. Smith", None)],
+        "id string, type string, name string, age string",
+    )
+    edges = spark.createDataFrame(
+        [("p1", "TREATS", "p1")], ["src", "rel", "dst"]
+    )
+    routed = nl_router.route_questions(
+        spark.createDataFrame(
+            [
+                ("What is the meaning of life?",),      # unknown
+                ("How many patients are treated in total?",),  # shape5 no anchors
+            ],
+            ["question"],
+        )
+    )
+    grouped = execute_routed_grouped(nodes, edges, routed)
+    assert all(df.count() == 0 for df in grouped.values())
