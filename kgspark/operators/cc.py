@@ -190,10 +190,15 @@ def connected_components_auto(
     node_col: str = "id",
     src: str = "src",
     dst: str = "dst",
-    driver_max_edges: int = 500_000,
-    driver_max_nodes: int = 1_000_000,
+    driver_max_edges: int | None = None,
+    driver_max_nodes: int | None = None,
 ) -> DataFrame:
     """Size-adaptive CC: tiny graphs are solved driver-side.
+
+    Thresholds default to 500k edges / 1M nodes, overridable per
+    deployment via ``KGSPARK_DRIVER_MAX_EDGES`` /
+    ``KGSPARK_DRIVER_MAX_NODES`` (0 forces the distributed arm —
+    output is bit-identical either way, tests/test_cc.py).
 
     The distributed iteration costs ~4-8 Spark jobs of pure latency per
     round — absurd for a same-as graph of a few thousand distinct
@@ -206,6 +211,12 @@ def connected_components_auto(
     (hash-min ``connected_components`` stays available for callers who
     know their diameter is tiny).
     """
+    from kgspark.runtime import env_int
+
+    if driver_max_edges is None:
+        driver_max_edges = env_int("KGSPARK_DRIVER_MAX_EDGES", 500_000)
+    if driver_max_nodes is None:
+        driver_max_nodes = env_int("KGSPARK_DRIVER_MAX_NODES", 1_000_000)
     spark = nodes.sparkSession
     sym = undirected_closure(edges, src, dst).persist()
     try:

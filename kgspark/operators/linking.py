@@ -312,7 +312,7 @@ def link_facts(
     aliases: DataFrame,
     canonicals: DataFrame | None = None,
     name_col: str = "Provider",
-    driver_max_mentions: int = 200_000,
+    driver_max_mentions: int | None = None,
 ) -> DataFrame:
     """Replace ``facts[name_col]`` with its canonical form (CC-based).
 
@@ -334,8 +334,8 @@ def resolve_mapping(
     distinct_mentions: DataFrame,
     aliases: DataFrame,
     canonicals: DataFrame,
-    driver_max_mentions: int = 200_000,
-    driver_max_dims: int = 1_000_000,
+    driver_max_mentions: int | None = None,
+    driver_max_dims: int | None = None,
 ) -> DataFrame:
     """``(name) → (name, canonical_id)`` via the size-adaptive resolver.
 
@@ -348,6 +348,14 @@ def resolve_mapping(
     (resolve only never-before-seen mentions, union with the persisted
     map) bit-identical to one-shot resolution.
     """
+    from kgspark.runtime import env_int
+
+    # thresholds env-overridable per deployment (0 forces the
+    # distributed tiers; outputs bit-identical, tests/test_linking.py)
+    if driver_max_mentions is None:
+        driver_max_mentions = env_int("KGSPARK_DRIVER_MAX_MENTIONS", 200_000)
+    if driver_max_dims is None:
+        driver_max_dims = env_int("KGSPARK_DRIVER_MAX_DIMS", 1_000_000)
     spark = distinct_mentions.sparkSession
     # null surface forms resolve to nothing: drop them here so the
     # driver path's string ops never see None and apply_mention_map's

@@ -35,6 +35,17 @@ from pyspark.sql import DataFrame
 _LIVE: list[DataFrame] = []
 
 
+def env_int(name: str, default: int) -> int:
+    """Integer knob from the environment, else the compiled default.
+    Used for the KGSPARK_DRIVER_MAX_* adaptive-arm thresholds: a
+    deployment at 100x scale turns the driver-side shortcuts off (set
+    to 0) or retunes them without code edits."""
+    raw = os.environ.get(name)
+    if raw is None or raw.strip() == "":
+        return default
+    return int(raw)
+
+
 def materialize_enabled() -> bool:
     return os.environ.get("KGSPARK_MATERIALIZE", "1") != "0"
 
