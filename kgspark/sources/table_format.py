@@ -29,6 +29,13 @@ for which two implementations make sense:
   ``df.write.parquet(dir)``; the resume/idempotence logic above the seam
   is unchanged because both implementations give the same guarantee:
   a commit is atomic and a stage's snapshot id is readable afterwards.
+
+The guarantee set is executable: tests/test_table_format.py is a
+parametrized conformance suite (atomic commit under a torn publish,
+idempotent bucket re-commit, reserved-key protection, summary
+carry-forward, pending-bucket diff semantics, per-stage independence)
+that any implementation added to its ``FORMATS`` list must pass —
+the acceptance gate for a future ``IcebergTableFormat``.
 """
 
 from __future__ import annotations
