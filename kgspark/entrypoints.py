@@ -2154,7 +2154,10 @@ WITH meta AS (
   SELECT i::BIGINT AS media_id,
          CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
          (i * 2654435761) % 4096 + 128 AS stub_len,
-         64 + (i % 8) * 32 AS dim_w, 48 + (i % 5) * 32 AS dim_h
+         CASE WHEN i % 3 = 2 THEN 16 + (i % 8) * 8
+              ELSE 64 + (i % 8) * 32 END AS dim_w,
+         CASE WHEN i % 3 = 2 THEN 12 + (i % 5) * 8
+              ELSE 48 + (i % 5) * 32 END AS dim_h
   FROM range({n}) t(i)
 ),
 dims AS (
@@ -2164,7 +2167,9 @@ dims AS (
          CASE kind WHEN 'image' THEN 0
                    WHEN 'audio' THEN stub_len * 1000 // 8000
                    ELSE 1000 + media_id * 250 END::INT AS decoded_duration_ms,
-         CASE WHEN kind = 'image' THEN dim_w * dim_h * 3
+         CASE kind WHEN 'image' THEN dim_w * dim_h * 3
+              -- video: C444 Y4M, (dur/250) frames of 3·w·h plane bytes
+              WHEN 'video' THEN dim_w * dim_h * 3 * (4 + media_id)
               ELSE stub_len END AS n_units
   FROM meta
 ),
@@ -2183,9 +2188,9 @@ GROUP BY d.media_id, d.kind, d.decoded_width, d.decoded_height, d.decoded_durati
 
 @register("multimodal_decode", _multimodal_decode_sql())
 def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media decode+featurize: REAL stdlib codecs for BMP images
-    and PCM WAV audio (operators/media_codecs.py), KGSM stub for video
-    (no uncompressed stdlib video format). Determinism pinned by
+    """Binary media decode+featurize: REAL stdlib codecs for all three
+    modalities — BMP images, PCM WAV audio, Y4M (C444) video
+    (operators/media_codecs.py). Determinism pinned by
     tests/test_multimodal.py and the generate_series DuckDB oracle (the
     synthetic payloads' decoded unit streams are pure functions of
     media_id, so the decoded-pixel/sample statistics are
@@ -2207,6 +2212,51 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _video_frame_sample_sql(n: int = 60, every_ms: int = 1000) -> str:
+    """DuckDB mirror of the REAL per-frame statistic: a Y4M video's
+    frame ``idx`` occupies bytes [idx·3wh, (idx+1)·3wh) of the unit
+    stream u(id, i), so each sampled frame's mean byte value is an
+    exact integer-sum / count double division re-derivable in SQL.
+    The Spark side actually parses the YUV4MPEG2 stream and plane data
+    (media_codecs.decode_y4m); a frame-boundary bug hash-mismatches
+    here."""
+    return f"""
+WITH meta AS (
+  SELECT i::BIGINT AS media_id,
+         16 + (i % 8) * 8 AS w, 12 + (i % 5) * 8 AS h,
+         1000 + i * 250 AS dur
+  FROM range({n}) t(i) WHERE i % 3 = 2
+),
+fr AS (
+  SELECT media_id, w * h * 3 AS fs, ts.g AS frame_ts_ms,
+         (ts.g // 250) AS frame_idx
+  FROM meta, unnest(generate_series(0, dur - 1, {every_ms})) ts(g)
+),
+px AS (
+  SELECT f.media_id, f.frame_idx, f.frame_ts_ms,
+         sum((f.media_id * 31 + u.i * 7) % 256)::DOUBLE / f.fs AS frame_mean
+  FROM fr f,
+       unnest(generate_series(f.frame_idx * f.fs, (f.frame_idx + 1) * f.fs - 1)) u(i)
+  GROUP BY f.media_id, f.frame_idx, f.frame_ts_ms, f.fs
+)
+SELECT media_id, frame_idx::INT AS frame_idx, frame_ts_ms::INT AS frame_ts_ms,
+       frame_mean
+FROM px
+"""
+
+
+@register("video_frame_sample", _video_frame_sample_sql())
+def video_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video frame sampling: every synthetic Y4M payload decoded
+    (media_codecs.decode_y4m), one frame per second sampled, per-frame
+    mean plane byte value as the statistic
+    (multimodal.frame_sample_features). The per-frame slice boundaries
+    and the exact-division arithmetic are value-checked against the
+    generate_series oracle."""
+    from kgspark.operators import multimodal as mm
+
+    media = mm.synthesize_media(spark, n=60)
+    return mm.frame_sample_features(media, every_ms=1000)
 
 
 # --------------------------------------------------------------------------
@@ -2360,6 +2410,7 @@ _REGISTRY_ORDER = [
     "kg_sparql_q3",
     "nl_route",
     "multimodal_decode",
+    "video_frame_sample",
     "gazetteer_mentions",
     # graph operators
     "connected_components",

@@ -146,3 +146,94 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         n = w.getnframes() * w.getnchannels()
         samples = list(struct.unpack(f"<{n}h", w.readframes(w.getnframes())))
         return w.getframerate(), w.getnchannels(), samples
+
+
+# ---------------------------------------------------------------------------
+# Y4M — YUV4MPEG2, the uncompressed video container (mjpegtools lineage)
+# ---------------------------------------------------------------------------
+#
+# Plain-text stream header "YUV4MPEG2 W<w> H<h> F<num>:<den> [...]\n",
+# then per frame a "FRAME[params]\n" marker followed by the raw planar
+# pixel data. Colorspaces supported here: C444 (full-resolution Y,U,V
+# planes — frame is 3·W·H bytes, no chroma subsampling math) and Cmono
+# (Y only, W·H bytes). Subsampled variants (C420*, C422) decode fine in
+# principle but are NotImplementedError until something needs them —
+# same honesty contract as compressed codecs.
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+_Y4M_FRAME_BYTES = {"444": 3, "mono": 1}  # bytes per pixel
+
+
+def encode_y4m(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    fps: tuple[int, int] = (4, 1),
+    colorspace: str = "444",
+) -> bytes:
+    """Encode raw planar frames as a YUV4MPEG2 stream."""
+    bpp = _Y4M_FRAME_BYTES.get(colorspace)
+    if bpp is None:
+        raise NotImplementedError(
+            f"colorspace C{colorspace} not supported (C444/Cmono only)"
+        )
+    frame_size = width * height * bpp
+    out = bytearray(
+        f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 "
+        f"C{colorspace}\n".encode("ascii")
+    )
+    for fr in frames:
+        if len(fr) != frame_size:
+            raise ValueError(f"need {frame_size} bytes per frame, got {len(fr)}")
+        out += b"FRAME\n" + fr
+    return bytes(out)
+
+
+def decode_y4m(data: bytes) -> tuple[int, int, tuple[int, int], list[bytes]]:
+    """(width, height, (fps_num, fps_den), frames) from a YUV4MPEG2
+    stream; each frame is the raw planar bytes (3·W·H for C444,
+    W·H for Cmono)."""
+    if not data.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M stream header")
+    width = height = None
+    fps = (25, 1)
+    colorspace = "420jpeg"  # the format's documented default
+    for tok in data[len(_Y4M_MAGIC):nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"F":
+            num, den = val.split(":")
+            fps = (int(num), int(den))
+        elif tag == b"C":
+            colorspace = val
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W or H")
+    bpp = _Y4M_FRAME_BYTES.get(colorspace)
+    if bpp is None:
+        raise NotImplementedError(
+            f"colorspace C{colorspace} not supported (C444/Cmono only)"
+        )
+    frame_size = width * height * bpp
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        fnl = data.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("truncated FRAME header")
+        start = fnl + 1
+        fr = data[start : start + frame_size]
+        if len(fr) != frame_size:
+            raise ValueError("truncated Y4M frame data")
+        frames.append(fr)
+        pos = start + frame_size
+    return width, height, fps, frames

@@ -8,10 +8,12 @@ uncompressed format per modality (pure stdlib, operators/media_codecs):
 
 - image → **BMP** (24-bit) and **PPM** (P6): full pixel decode;
 - audio → **WAV** (16-bit PCM): full sample decode;
-- video → still the synthetic KGSM stub (no uncompressed stdlib video
-  format exists), plus compressed formats (JPEG/PNG/MP3/H.264) raise
-  ``NotImplementedError`` at the payload sniffer — the honest
-  integration point for a PIL/librosa/pyav swap-in.
+- video → **Y4M** (YUV4MPEG2, C444): full per-frame plane decode and
+  real frame sampling (``frame_sample_features``); the legacy KGSM
+  header stub still decodes for old payloads. Compressed formats
+  (JPEG/PNG/MP3/H.264) raise ``NotImplementedError`` at the payload
+  sniffer — the honest integration point for a PIL/librosa/pyav
+  swap-in.
 
 Features are 8-bucket normalized sums over the decoded unit stream
 (pixel bytes / samples+128) — exact integer-in-double arithmetic, so
@@ -57,36 +59,91 @@ def _stub_len(media_id: int) -> int:
     return (media_id * 2654435761) % 4096 + 128
 
 
+VIDEO_FPS = (4, 1)  # 250 ms per frame; durations divisible by 250 round-trip
+VIDEO_FRAME_MS = 1000 * VIDEO_FPS[1] // VIDEO_FPS[0]
+
+
 def synthesize_media_bytes(kind: str, media_id: int, width: int, height: int, duration_ms: int) -> bytes:
-    """Deterministic synthetic payload: a REAL encoded file for image
-    (BMP) and audio (WAV); the KGSM header stub for video."""
+    """Deterministic synthetic payload: a REAL encoded file for every
+    modality — BMP image, PCM WAV audio, Y4M (C444) video. Every
+    payload's decoded unit stream is ``_unit_bytes(media_id, n)``, so
+    the DuckDB oracle re-derives decoded statistics from media_id."""
     if kind == "image":
         return mc.encode_bmp(width, height, _unit_bytes(media_id, width * height * 3))
     if kind == "audio":
         samples = [b - 128 for b in _unit_bytes(media_id, _stub_len(media_id))]
         return mc.encode_wav(AUDIO_RATE, samples)
-    kind_code = {"image": 1, "audio": 2, "video": 3}[kind]
-    header = _MAGIC + struct.pack("<BIII", kind_code, width, height, duration_ms)
-    return header + _unit_bytes(media_id, _stub_len(media_id))
+    if kind == "video":
+        n_frames = max(duration_ms // VIDEO_FRAME_MS, 1)
+        frame_size = width * height * 3  # C444: full Y,U,V planes
+        body = _unit_bytes(media_id, n_frames * frame_size)
+        frames = [
+            body[i * frame_size : (i + 1) * frame_size] for i in range(n_frames)
+        ]
+        return mc.encode_y4m(width, height, frames, fps=VIDEO_FPS)
+    raise ValueError(f"unknown media kind {kind!r}")
 
 
 def synthesize_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table in MEDIA_SCHEMA."""
-    rows = []
+    """Deterministic synthetic media table in MEDIA_SCHEMA.
+
+    Only the tiny metadata rows are built driver-side; the (possibly
+    hundreds-of-KB) encoded payloads are generated executor-side in a
+    mapInArrow pass — the same shape a real ingest has (wide binary
+    column materialized where the data lives, never shipped in task
+    closures)."""
+    import pyarrow as pa
+
+    meta_rows = []
     kinds = ["image", "audio", "video"]
-    mimes = {"image": "image/bmp", "audio": "audio/wav", "video": "video/x-kgsm"}
+    mimes = {"image": "image/bmp", "audio": "audio/wav", "video": "video/x-yuv4mpeg"}
     for i in range(n):
         kind = kinds[i % 3]
-        w, h = (64 + (i % 8) * 32, 48 + (i % 5) * 32) if kind != "audio" else (0, 0)
+        if kind == "audio":
+            w, h = 0, 0
+        elif kind == "video":
+            # video frames are stored uncompressed (C444, 3 bytes/px ×
+            # n_frames) — small dims keep the synthetic payloads in the
+            # hundreds-of-KB range instead of tens of MB
+            w, h = 16 + (i % 8) * 8, 12 + (i % 5) * 8
+        else:
+            w, h = 64 + (i % 8) * 32, 48 + (i % 5) * 32
         if kind == "image":
             dur = 0
         elif kind == "audio":
             dur = _stub_len(i) * 1000 // AUDIO_RATE
         else:
             dur = 1000 + i * 250
-        payload = synthesize_media_bytes(kind, i, w, h, dur)
-        rows.append((i, kind, payload, mimes[kind], w, h, dur, len(payload)))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+        meta_rows.append((i, kind, mimes[kind], w, h, dur))
+
+    meta = spark.createDataFrame(
+        meta_rows,
+        schema="media_id long, kind string, mime string, width int, "
+               "height int, duration_ms int",
+    )
+
+    def gen(batches):
+        for rb in batches:
+            d = rb.to_pydict()
+            payloads = [
+                synthesize_media_bytes(k, mid, w, h, dur)
+                for mid, k, w, h, dur in zip(
+                    d["media_id"], d["kind"], d["width"], d["height"],
+                    d["duration_ms"],
+                )
+            ]
+            yield pa.RecordBatch.from_pydict({
+                "media_id": pa.array(d["media_id"], pa.int64()),
+                "kind": pa.array(d["kind"], pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "mime": pa.array(d["mime"], pa.string()),
+                "width": pa.array(d["width"], pa.int32()),
+                "height": pa.array(d["height"], pa.int32()),
+                "duration_ms": pa.array(d["duration_ms"], pa.int32()),
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            })
+
+    return meta.mapInArrow(gen, schema=MEDIA_SCHEMA)
 
 
 def _featurize_units(units: np.ndarray) -> list[float]:
@@ -118,6 +175,12 @@ def _decode_payload(payload: bytes) -> dict:
         frames = len(samples) // channels
         return {"decoded_width": 0, "decoded_height": 0,
                 "decoded_duration_ms": frames * 1000 // rate,
+                "features": _featurize_units(units)}
+    if payload[:9] == b"YUV4MPEG2":
+        w, h, fps, frames = mc.decode_y4m(payload)
+        units = np.frombuffer(b"".join(frames), dtype=np.uint8).astype(np.int64)
+        return {"decoded_width": w, "decoded_height": h,
+                "decoded_duration_ms": len(frames) * 1000 * fps[1] // fps[0],
                 "features": _featurize_units(units)}
     if payload[:4] == _MAGIC:
         return _decode_stub(payload)
@@ -246,6 +309,66 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return vids.select(
         "media_id", F.explode(stamps).alias("frame_ts_ms")
     )
+
+
+def frame_sample_features(
+    media: DataFrame, every_ms: int = 1000, batch_hint: int = 8
+) -> DataFrame:
+    """REAL video frame sampling: decode each Y4M payload, take the
+    frame at every ``every_ms`` timestamp, and compute a per-frame
+    statistic — (media_id, frame_idx, frame_ts_ms, frame_mean) where
+    frame_mean is the mean byte value of the sampled frame's planes
+    (an exact integer-sum / count double division, so the DuckDB
+    oracle reproduces it bit-for-bit from the synthetic unit stream).
+
+    Same Arrow-batch shape rules as ``decode_and_featurize``: payloads
+    stay in Arrow buffers, re-sliced to ``batch_hint`` rows to bound
+    per-batch memory. Non-video rows are pruned BEFORE the UDF (and
+    the payload column is the only wide column shipped), so at scale
+    the scan reads video partitions only.
+    """
+    import pyarrow as pa
+
+    out_schema = (
+        "media_id long, frame_idx int, frame_ts_ms int, frame_mean double"
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        def sliced():
+            for rb0 in batches:
+                for off in range(0, rb0.num_rows, batch_hint):
+                    yield rb0.slice(off, batch_hint)
+
+        for rb in sliced():
+            ids = rb.column(rb.schema.get_field_index("media_id")).to_pylist()
+            payload_col = rb.column(rb.schema.get_field_index("payload"))
+            recs = {"media_id": [], "frame_idx": [], "frame_ts_ms": [],
+                    "frame_mean": []}
+            for i in range(rb.num_rows):
+                payload = payload_col[i].as_py()
+                w, h, fps, frames = mc.decode_y4m(payload)
+                frame_ms = 1000 * fps[1] / fps[0]
+                total_ms = int(len(frames) * frame_ms)
+                for ts in range(0, total_ms, every_ms):
+                    idx = int(ts * fps[0] // (1000 * fps[1]))
+                    units = np.frombuffer(frames[idx], dtype=np.uint8)
+                    recs["media_id"].append(ids[i])
+                    recs["frame_idx"].append(idx)
+                    recs["frame_ts_ms"].append(ts)
+                    recs["frame_mean"].append(
+                        float(units.sum(dtype=np.int64)) / len(units)
+                    )
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "media_id": pa.array(recs["media_id"], pa.int64()),
+                    "frame_idx": pa.array(recs["frame_idx"], pa.int32()),
+                    "frame_ts_ms": pa.array(recs["frame_ts_ms"], pa.int32()),
+                    "frame_mean": pa.array(recs["frame_mean"], pa.float64()),
+                }
+            )
+
+    vids = media.filter(F.col("kind") == "video").select("media_id", "payload")
+    return vids.mapInArrow(run, schema=out_schema)
 
 
 def media_stats(media: DataFrame) -> DataFrame:

@@ -18,7 +18,7 @@ def test_schema_and_payload_roundtrip(media):
     rows = {r.media_id: r for r in media.filter(F.col("media_id") < 6).collect()}
     assert rows[3].payload[:2] == b"BM"      # image → real BMP
     assert rows[4].payload[:4] == b"RIFF"    # audio → real WAV
-    assert rows[5].payload[:4] == b"KGSM"    # video → synthetic stub
+    assert rows[5].payload[:9] == b"YUV4MPEG2"  # video → real Y4M
     assert all(r.n_bytes == len(r.payload) for r in rows.values())
 
 
@@ -106,6 +106,50 @@ def test_codec_roundtrips():
     assert mc.decode_wav(mc.encode_wav(44100, samples[:776], channels=2)) == (
         44100, 2, samples[:776],
     )
+
+    # Y4M: C444 and Cmono round-trip, frame boundaries exact
+    for cs, bpp in [("444", 3), ("mono", 1)]:
+        w, h, nf = 5, 3, 4
+        frames = [bytes(((k * 11 + i) % 256) for i in range(w * h * bpp))
+                  for k in range(nf)]
+        enc = mc.encode_y4m(w, h, frames, fps=(4, 1), colorspace=cs)
+        assert mc.decode_y4m(enc) == (w, h, (4, 1), frames), cs
+
+
+def test_y4m_error_paths():
+    from kgspark.operators import media_codecs as mc
+
+    good = mc.encode_y4m(2, 2, [bytes(12)], fps=(25, 1))
+    with pytest.raises(ValueError, match="truncated Y4M frame"):
+        mc.decode_y4m(good[:-3])
+    with pytest.raises(NotImplementedError, match="C420"):
+        mc.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420\n")
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        mc.decode_y4m(b"KGSMxxxx")
+    with pytest.raises(ValueError, match="FRAME marker"):
+        mc.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C444\nBOGUS\n" + bytes(12))
+
+
+def test_video_frame_sample_features(spark, media):
+    """Real Y4M frame sampling: one frame per second, per-frame mean
+    equals the mean of the synthetic unit-stream slice for that frame."""
+    import numpy as np
+
+    out = mm.frame_sample_features(media, every_ms=1000).collect()
+    vids = {r.media_id: r for r in media.filter(F.col("kind") == "video").collect()}
+    assert {r.media_id for r in out} == set(vids)
+    for r in out:
+        v = vids[r.media_id]
+        fs = v.width * v.height * 3
+        assert r.frame_ts_ms % 1000 == 0
+        assert r.frame_idx == r.frame_ts_ms // mm.VIDEO_FRAME_MS
+        sl = np.frombuffer(
+            mm._unit_bytes(r.media_id, (r.frame_idx + 1) * fs)[r.frame_idx * fs:],
+            np.uint8,
+        )
+        assert r.frame_mean == float(sl.sum(dtype=np.int64)) / fs
+    # id=5: dur=2250 → frames at ts 0,1000,2000
+    assert sorted(r.frame_ts_ms for r in out if r.media_id == 5) == [0, 1000, 2000]
 
 
 def test_real_decode_matches_unit_formula():
