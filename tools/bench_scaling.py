@@ -66,11 +66,25 @@ def _burn(n: int) -> int:
 
 def hardware_ceiling(n_low: int, n_high: int, n: int = 30_000_000) -> dict:
     """Raw CPU scaling of this host (no Spark): aggregate ops/s of
-    N parallel busy loops. The upper bound any engine can reach."""
+    N parallel busy loops. The upper bound any engine can reach.
+
+    Two proc-count pairs are measured:
+
+    - (n_low, n_high): the task-slot counts themselves;
+    - (2·n_low, 2·n_high): the *busy-thread* counts a Python-seam
+      stage actually drives — each task slot runs a JVM Arrow
+      producer AND a Python worker concurrently, so local[N] puts
+      ~2N threads on the host during extraction. On a real N→4N
+      cluster the oversubscription ratio is identical at both sizes
+      (every executor gets the same core budget); on this single VM
+      the high leg crosses the measured frequency cliff the low leg
+      does not, so the busy-thread pair is the ceiling that actually
+      binds the ratio and is what `normalized` should divide out.
+    """
     import multiprocessing as mp
 
     out = {}
-    for procs in (n_low, n_high):
+    for procs in sorted({n_low, n_high, 2 * n_low, 2 * n_high}):
         t0 = time.time()
         with mp.Pool(procs) as pool:
             pool.map(_burn, [n] * procs)
@@ -79,6 +93,11 @@ def hardware_ceiling(n_low: int, n_high: int, n: int = 30_000_000) -> dict:
         "mops_low": round(out[n_low] / 1e6, 1),
         "mops_high": round(out[n_high] / 1e6, 1),
         "cpu_scaling_efficiency": round(out[n_high] / out[n_low] / (n_high / n_low), 3),
+        "mops_busy_low": round(out[2 * n_low] / 1e6, 1),
+        "mops_busy_high": round(out[2 * n_high] / 1e6, 1),
+        "busy_thread_scaling_efficiency": round(
+            out[2 * n_high] / out[2 * n_low] / (n_high / n_low), 3
+        ),
     }
 
 
@@ -256,6 +275,11 @@ def main() -> None:
             "hardware_cpu_ceiling": hw,
             "normalized_efficiency": round(
                 min(eff / hw["cpu_scaling_efficiency"], 1.0), 3
+            ),
+            # the ceiling that binds the Python-seam stages (2 busy
+            # threads per task slot — see hardware_ceiling docstring)
+            "normalized_busy_thread_efficiency": round(
+                min(eff / hw["busy_thread_scaling_efficiency"], 1.0), 3
             ),
         }
         print(json.dumps(summary))
