@@ -101,6 +101,21 @@ def hardware_ceiling(n_low: int, n_high: int, n: int = 30_000_000) -> dict:
     }
 
 
+def steal_fraction() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from the aggregate /proc/stat cpu
+    line. The delta across a leg gives the fraction of machine time the
+    hypervisor gave to OTHER tenants while the leg ran — the direct
+    measurement of the host interference the normalized efficiencies
+    otherwise have to infer from the busy-loop control."""
+    try:
+        with open("/proc/stat") as fh:
+            fields = fh.readline().split()[1:]
+        vals = [int(x) for x in fields]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except OSError:
+        return (0, 0)
+
+
 def run_leg(cpus: int, src: str, out: str, snapshot: str) -> None:
     from kgspark.plans.pipeline import run_pipeline
     from kgspark.session import get_spark
@@ -196,9 +211,16 @@ def main() -> None:
         # scale (it raises the small leg's baseline exactly as much as
         # the big leg's).
         cooldown = int(os.environ.get("KGSPARK_SCALING_COOLDOWN", "0"))
-        for cpus in LEGS:
-            best = None
-            for attempt in range(int(os.environ.get("KGSPARK_SCALING_ATTEMPTS", "1"))):
+        # Attempts are INTERLEAVED across legs (N, 4N, N, 4N, ...) so
+        # both legs sample the same sequence of host-speed windows —
+        # running all attempts of one leg first would let a tens-of-
+        # minutes hypervisor drift (measured 2-3× on this VM) land
+        # entirely on one side of the ratio. Best-of-k per leg then
+        # filters transient throttle symmetrically.
+        attempts = int(os.environ.get("KGSPARK_SCALING_ATTEMPTS", "1"))
+        for attempt in range(attempts):
+            for cpus in LEGS:
+                best = results.get(cpus)
                 if cooldown:
                     print(f"cooldown {cooldown}s before local[{cpus}] ...",
                           file=sys.stderr)
@@ -250,19 +272,23 @@ def main() -> None:
                     env = dict(os.environ)
                 if PIN and shutil.which("taskset"):
                     cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
+                s0, t0 = steal_fraction()
                 r = subprocess.run(
                     cmd, capture_output=True, text=True, check=False, env=env,
                 )
+                s1, t1 = steal_fraction()
+                steal = (s1 - s0) / (t1 - t0) if t1 > t0 else 0.0
                 if r.returncode != 0:
                     print(r.stdout, r.stderr[-2000:], file=sys.stderr)
                     raise SystemExit(1)
                 leg = json.loads(r.stdout.strip().splitlines()[-1])
                 leg["cpus"] = cpus
+                leg["steal_pct"] = round(100.0 * steal, 2)
                 print(json.dumps(leg), file=sys.stderr)
                 shutil.rmtree(out, ignore_errors=True)
                 if best is None or leg["sec"] < best["sec"]:
                     best = leg
-            results[cpus] = best
+                results[cpus] = best
 
         n, n4 = LEGS
         hw = hardware_ceiling(n, n4)
