@@ -218,6 +218,7 @@ def main() -> None:
         # entirely on one side of the ratio. Best-of-k per leg then
         # filters transient throttle symmetrically.
         attempts = int(os.environ.get("KGSPARK_SCALING_ATTEMPTS", "1"))
+        pair_rates: list[dict] = []
         for attempt in range(attempts):
             for cpus in LEGS:
                 best = results.get(cpus)
@@ -289,15 +290,30 @@ def main() -> None:
                 if best is None or leg["sec"] < best["sec"]:
                     best = leg
                 results[cpus] = best
+                if len(pair_rates) <= attempt:
+                    pair_rates.append({})
+                pair_rates[attempt][cpus] = leg["docs_per_sec"]
 
         n, n4 = LEGS
         hw = hardware_ceiling(n, n4)
         # ideal speedup is the core ratio, not a hardcoded 4x
         eff = (results[n4]["docs_per_sec"] / results[n]["docs_per_sec"]) / (n4 / n)
+        # Per-attempt (pairwise) ratios: with interleaved attempts the
+        # adjacent N,4N legs share a host-speed window, so pairing them
+        # is the drift-robust statistic — best-of-k can pair a fast
+        # small-leg window with a slow big-leg one and understate the
+        # true ratio on a drifting host (observed in pass E,
+        # BENCH/BASELINE.md round-5 addendum).
+        pairwise = [
+            round(p[n4] / p[n] / (n4 / n), 3)
+            for p in pair_rates
+            if n in p and n4 in p
+        ]
         summary = {
             f"local{n}": results[n],
             f"local{n4}": results[n4],
             f"scaling_efficiency_{n}_to_{n4}": round(eff, 3),
+            "pairwise_efficiencies": pairwise,
             "hardware_cpu_ceiling": hw,
             "normalized_efficiency": round(
                 min(eff / hw["cpu_scaling_efficiency"], 1.0), 3
