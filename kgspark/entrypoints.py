@@ -41,6 +41,7 @@ from kgspark.operators.relational_kg import (
     build_geo_triples,
     geo_edges,
 )
+from kgspark.runtime import materialize
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
@@ -57,8 +58,27 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Tables whose queries are compute-heavy per row (tokenize/regex/md5 /
+# 64-dim dots) but whose parquet layout is a single small row group —
+# an unsplittable scan, so every downstream map stage would run in ONE
+# task (guide §2.5 "input skew: one huge unsplittable file... otherwise
+# repartition immediately after the read"). One tiny shuffle of the raw
+# rows (≤ a few MB) buys full-width parallelism for the expensive scan
+# stage; key columns are the high-cardinality primary ids. Wide tables
+# whose first operation is a cheap projection into an aggregation
+# (lineitem, orders) are NOT listed: their map work is light and the
+# repartition would shuffle hundreds of MB for nothing.
+_SPREAD_ON_READ = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = _SPREAD_ON_READ.get(name)
+    if key is not None:
+        from kgspark.runtime import spread
+
+        df = spread(df, key)
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -645,14 +665,24 @@ def graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     pairs = e.select("src", "dst").distinct()
     li = _t(spark, sf_dir, "lineitem")
-    bip = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
-    ).distinct()
-    ends = bip.select(F.col("src").alias("node")).unionByName(
-        bip.select(F.col("dst").alias("node"))
+    # The degree report never surfaces node ids — only avg/max/count of
+    # the degree values — and the 's'/'p' prefixes make the supplier
+    # and part namespaces disjoint, so the bipartite degree table
+    # decomposes exactly into per-supplier distinct-part counts plus
+    # per-part distinct-supplier counts. Computing it that way keeps
+    # every shuffle on the narrow numeric lineitem keys (guide §2.3
+    # "narrower types"); the old plan shuffled 2·|distinct pairs|
+    # concat-string rows through a single groupBy. The distinct pair
+    # set is materialized once for its two group-bys.
+    pairs_d = materialize(li.select("l_suppkey", "l_partkey").distinct())
+    deg = (
+        pairs_d.groupBy("l_suppkey").agg(F.count("*").alias("degree"))
+        .select("degree")
+        .unionByName(
+            pairs_d.groupBy("l_partkey").agg(F.count("*").alias("degree"))
+            .select("degree")
+        )
     )
-    deg = ends.groupBy("node").agg(F.count("*").alias("degree"))
     return (
         nodes.agg(F.count("*").alias("node_count"))
         .crossJoin(pairs.agg(F.count("*").alias("edge_count")))
@@ -913,7 +943,7 @@ def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for the first 5 query vectors."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.cosine_topk(emb, queries, k=10)
+    return similarity.cosine_topk(emb, queries, k=10, dim=64)
 
 
 def _hyperplane_lsh_sql(
@@ -992,7 +1022,7 @@ def ann_ivf_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(emb, queries, centroids, k=10, nprobe=3)
+    return similarity.ivf_topk(emb, queries, centroids, k=10, nprobe=3, dim=64)
 
 
 _EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in textops.LANG_STOPWORDS["en"]) + "]"

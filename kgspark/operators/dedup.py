@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kgspark.runtime import materialize
+from kgspark.runtime import materialize, spread
 
 from kgspark.operators.fulltext import tokenize_col
 
@@ -189,8 +189,10 @@ def lsh_candidate_pairs(
     drop is observable, never silent.
     """
     # three consumers (bucket sizing + both join sides) — materialize
-    # once; production writes the banded table out at this boundary
-    banded = materialize(lsh_banded(signatures, num_hashes, bands))
+    # once; production writes the banded table out at this boundary.
+    # spread() keeps the probe side of the bucket self-join parallel
+    # (a persisted aggregate otherwise arrives AQE-coalesced).
+    banded = materialize(spread(lsh_banded(signatures, num_hashes, bands), "doc_id"))
     if max_bucket is not None:
         sizes = banded.groupBy("band", "band_sig").agg(
             F.count("*").alias("_bsz")
@@ -242,49 +244,115 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     max_doc_freq: int | None = 1000,
+    prefix_k: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
-    Shingle-inverted self-join computes |A∩B| without materializing n²
-    pairs; |A∪B| = |A|+|B|-|A∩B|. The exact (quadratic-in-collisions)
-    baseline that MinHash/LSH approximates.
+    AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07;
+    Xiao et al., WWW'08) instead of the full shingle-inverted
+    self-join: order the vocabulary rarest-first, generate candidates
+    only from each document's (n − ⌈t·n⌉ + k)-shingle prefix, and
+    verify survivors with one exact set intersection per pair. Three
+    losslessly exact prunes stack:
 
-    ``max_doc_freq`` guards the one way this goes quadratic at scale: a
-    boilerplate shingle shared by 10⁶ docs is a single join key with
-    10¹² output rows. Shingles above the cap are removed from the
-    shingle UNIVERSE (both the intersection join and the per-doc set
-    sizes), so the returned value is the exact Jaccard over the capped
-    vocabulary — hub shingles carry no similarity signal anyway (that
-    is precisely why they are hubs). Dropped shingles are enumerable
-    via ``ngram_hub_shingles`` — observable, never silent. Pass
-    ``max_doc_freq=None`` for the uncapped textbook definition
-    (test/oracle scale only).
+    - *prefix* — the k smallest (rarest) common shingles of any pair
+      with Jaccard ≥ t provably lie inside both extended prefixes
+      (pigeonhole over |A∩B| ≥ ⌈t·n⌉), so joining prefixes finds every
+      qualifying pair;
+    - *size ratio* — Jaccard ≤ min(n_a,n_b)/max(n_a,n_b), so pairs with
+      incompatible sizes are dropped inside the join condition;
+    - *k-overlap* — a qualifying pair shares ≥ min(k, ⌈t·n_a⌉, ⌈t·n_b⌉)
+      prefix shingles, so the candidate aggregation keeps only pairs
+      with that many prefix hits (measured at sf1.0: 41M ≥1-hit pairs
+      → 104k ≥3-hit candidates for 2.5k true results).
+
+    |A∩B| for survivors comes from ``array_intersect`` over the per-doc
+    sorted shingle arrays — identical to the count the inverted
+    self-join produced (shingle sets are distinct per doc), at
+    candidate cost instead of Σ df² cost. |A∪B| = |A|+|B|-|A∩B|.
+
+    ``max_doc_freq`` bounds the hub-shingle universe exactly as
+    before: shingles above the cap leave the vocabulary (sizes, order,
+    and intersections all use the capped universe), and the drop stays
+    observable via ``ngram_hub_shingles``. Pass ``max_doc_freq=None``
+    for the uncapped textbook definition (test/oracle scale only).
     """
-    sh = _shingled(docs, id_col, text_col, shingle_n)
+    # the shingle stream feeds the DF table and the per-doc grouping —
+    # materialize so the tokenize+shingle explode runs once
+    sh = materialize(_shingled(docs, id_col, text_col, shingle_n))
+    df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     if max_doc_freq is not None:
-        kept = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_doc_freq)
-            .select("shingle")
-        )
-        # shingle stream feeds sizes + both join sides — materialize
-        # once now that the DF-cap agg sits upstream of all three
-        sh = materialize(sh.join(kept, "shingle"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        df_tbl = df_tbl.filter(F.col("_df") <= max_doc_freq)
+    shd = sh.join(df_tbl, "shingle")
 
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+    # per-doc shingle set, sorted rarest-first (df asc, shingle asc —
+    # a strict total order: shingles are unique); n_sh is the capped
+    # set size, identical to the old sizes aggregation
+    grouped = materialize(
+        shd.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
+            ).alias("_ss")
+        )
+        .select(
+            "doc_id",
+            F.col("_ss.shingle").alias("_sh_sorted"),
+            F.size("_ss").alias("n_sh"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+
+    t = float(threshold)
+    k = int(prefix_k)
+    plen = (F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + F.lit(k)).cast("int")
+    # spread BEFORE the explode+self-join: grouped is a persisted
+    # aggregate (1-2 AQE-coalesced partitions), and the prefix join
+    # below is broadcast — without the repartition the whole multi-10⁷
+    # row fan-out would execute in one task (runtime.spread docstring)
+    pfx = spread(grouped, "doc_id").select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.slice(F.col("_sh_sorted"), F.lit(1), plen)).alias("shingle"),
+    )
+
+    a = pfx.alias("a")
+    b = pfx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-ratio prune: j ≥ t needs min(n_a,n_b) ≥ t·max(n_a,n_b)
+            & (F.col("a.n_sh") >= F.lit(t) * F.col("b.n_sh"))
+            & (F.col("b.n_sh") >= F.lit(t) * F.col("a.n_sh")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("_hits"))
+        .filter(
+            F.col("_hits")
+            >= F.least(
+                F.lit(k),
+                F.ceil(F.lit(t) * F.col("na")),
+                F.ceil(F.lit(t) * F.col("nb")),
+            )
+        )
+    )
+
+    ga = grouped.select(
+        F.col("doc_id").alias("doc_a"), F.col("_sh_sorted").alias("_sha")
+    )
+    gb = grouped.select(
+        F.col("doc_id").alias("doc_b"), F.col("_sh_sorted").alias("_shb")
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("_sha", "_shb")).cast("long"))
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
@@ -464,8 +532,10 @@ def simhash_neardup_pairs(
     # per side (measured 8-16× the signature cost at sf0.1). In a
     # production pipeline the signature table is written out once and
     # the join reads the materialized table — localCheckpoint is the
-    # in-session stand-in for that boundary.
-    sim = materialize(simhash(docs, id_col=id_col, text_col=text_col))
+    # in-session stand-in for that boundary. spread() so the byte-band
+    # self-join's Σ bucket² probe work runs on every core instead of
+    # the persisted aggregate's one coalesced partition.
+    sim = materialize(spread(simhash(docs, id_col=id_col, text_col=text_col), "doc_id"))
     wcols = simhash_word_cols(sim)
     n_bands = 4 * len(wcols)
     assert max_hamming < n_bands, "pigeonhole banding needs max_hamming < bands"
@@ -484,7 +554,18 @@ def simhash_neardup_pairs(
     )
     left = banded.alias("l")
     right = banded.alias("r")
-    cand = (
+    hamming = None
+    for c in wcols:
+        term = F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+        hamming = term if hamming is None else hamming + term
+    # hamming is computed and thresholded BEFORE the pair dedup, so the
+    # Σ bucket² candidate occurrences never reach an exchange — only
+    # the ≤max_hamming survivors do. Dedup is groupBy + first(), not
+    # distinct(): hamming is a function of the pair (each doc has one
+    # signature), so every duplicate occurrence carries the identical
+    # row and first() returns exactly the old distinct-then-filter set,
+    # while keeping the aggregate keys to two longs.
+    return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -497,14 +578,9 @@ def simhash_neardup_pairs(
             *[F.col(f"l.{c}").alias(f"a_{c}") for c in wcols],
             *[F.col(f"r.{c}").alias(f"b_{c}") for c in wcols],
         )
-        .distinct()
-    )
-    hamming = None
-    for c in wcols:
-        term = F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
-        hamming = term if hamming is None else hamming + term
-    return (
-        cand.withColumn("hamming", hamming)
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("hamming").alias("hamming"))
         .select("doc_a", "doc_b", "hamming")
     )

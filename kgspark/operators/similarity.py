@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kgspark.runtime import materialize
+from kgspark.runtime import materialize, spread
 
 
 def _as_double(col: Column) -> Column:
@@ -35,6 +35,29 @@ def dot_col(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def dot_expr(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product; with ``dim`` known, an unrolled add-chain
+    ``(((0.0 + a[0]·b[0]) + a[1]·b[1]) + …`` instead of the HOF
+    aggregate. Bit-for-bit the same result: identical IEEE multiply
+    and left-fold add order, the leading ``0.0`` matching the fold's
+    init (so even a degenerate all ``-0.0`` product row folds to the
+    same ``+0.0``), and an out-of-range ``getItem`` yields NULL exactly
+    where ``zip_with``'s padding nulls the HOF sum. The win is purely
+    mechanical: HigherOrderFunction expressions are CodegenFallback
+    (interpreted, one closure call per element plus a per-row array
+    allocation for ``zip_with``), while the unrolled chain whole-stage
+    codegens — measured ~8× on the LSH pair-scoring stage. One dot
+    stays within the JIT method-size limit; do NOT fuse 16+ of these
+    into a single projection (see hyperplane note below).
+    """
+    if dim is None:
+        return dot_col(a, b)
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a.getItem(i) * b.getItem(i)
+    return acc
 
 
 def cosine_col(a: Column, b: Column) -> Column:
@@ -55,23 +78,26 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / denom
 
 
-def prenorm_cosine_col(a_vec, a_norm_sq, b_vec, b_norm_sq) -> Column:
+def prenorm_cosine_col(a_vec, a_norm_sq, b_vec, b_norm_sq, dim: int | None = None) -> Column:
     """cosine from per-side precomputed SQUARED norms — one dot per
     pair instead of three. sqrt(aa·bb) reproduces ``cosine_col``'s
     exact float arithmetic bit-for-bit (that is why norm_sq, not norm,
     is carried); same NULL-on-zero-norm guard. Use whenever one side of
     a scoring join is reused across many pairs (top-k, IVF, LSH
     confirm) — the 06b91eb A/B measured ~2× on ann_cosine_topk and
-    ~2.3× on the LSH confirm stage."""
-    return dot_col(a_vec, b_vec) / F.nullif(
+    ~2.3× on the LSH confirm stage. Pass ``dim`` when the vector width
+    is known so the pair dot codegens (``dot_expr``)."""
+    return dot_expr(a_vec, b_vec, dim) / F.nullif(
         F.sqrt(a_norm_sq * b_norm_sq), F.lit(0.0)
     )
 
 
-def _with_norm_sq(df: DataFrame, vec_in: str, vec_out: str, ns_out: str) -> DataFrame:
+def _with_norm_sq(
+    df: DataFrame, vec_in: str, vec_out: str, ns_out: str, dim: int | None = None
+) -> DataFrame:
     """Project ``vec_in`` to a double vector + its squared norm."""
     d = df.withColumn(vec_out, _as_double(F.col(vec_in)))
-    return d.withColumn(ns_out, dot_col(F.col(vec_out), F.col(vec_out)))
+    return d.withColumn(ns_out, dot_expr(F.col(vec_out), F.col(vec_out), dim))
 
 
 def cosine_topk(
@@ -81,32 +107,34 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """For every query vector: top-k nearest by cosine (self excluded).
 
     ``queries`` must be broadcast-small; the join is a broadcast
     nested-loop over the (distributed) vector table. Squared norms are
     computed once per side (|Q| + |V| rows) so the |Q|·|V| pair stage
-    evaluates a single dot product per pair.
+    evaluates a single dot product per pair — codegen'd when ``dim``
+    is known (dot_expr).
     """
     q = _with_norm_sq(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_raw")
         ),
-        "q_raw", "q_vec", "q_ns",
+        "q_raw", "q_vec", "q_ns", dim,
     ).drop("q_raw")
     v = _with_norm_sq(
         vectors.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_raw")
         ),
-        "v_raw", "v_vec", "v_ns",
+        "v_raw", "v_vec", "v_ns", dim,
     ).drop("v_raw")
     scored = (
         v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos",
             prenorm_cosine_col(
-                F.col("q_vec"), F.col("q_ns"), F.col("v_vec"), F.col("v_ns")
+                F.col("q_vec"), F.col("q_ns"), F.col("v_vec"), F.col("v_ns"), dim
             ),
         )
         # undefined similarity (zero-norm vector) is not a neighbor
@@ -238,10 +266,24 @@ def cosine_neardup_pairs_lsh(
         dim = len(probe[0])
     # materialized once: the banded signature table feeds both sides of
     # the self-join (the production pipeline writes it out; in-session
-    # the checkpoint is that table boundary)
-    banded = materialize(hyperplane_signature_bands(
+    # the checkpoint is that table boundary). spread() so the probe
+    # side of the broadcast self-join is not one coalesced partition —
+    # the join's multi-10⁷-row fan-out inherits this parallelism
+    # (runtime.spread docstring).
+    banded = materialize(spread(hyperplane_signature_bands(
         vectors, dim, n_planes, bands, id_col, vec_col
-    ))
+    ), "id"))
+    # Candidate OCCURRENCES (one row per shared band, duplicates kept):
+    # scoring runs before the dedup so the only wide shuffle of the old
+    # plan — Exchange + distinct over tens of millions of candidate
+    # pairs — collapses to a distinct over the threshold SURVIVORS.
+    # Dedup-after-filter is exact: cos is a function of the pair, so
+    # every duplicate occurrence carries the identical (id_a, id_b,
+    # cos) row and distinct returns the same set the old
+    # distinct-then-score produced. The extra cost (scoring duplicate
+    # occurrences, ≤ bands× and ~1.2× measured) is paid in a codegen'd
+    # no-shuffle stage; the scoring dot itself is the unrolled
+    # dot_expr (~8× the HOF form).
     cand = (
         banded.alias("l")
         .join(
@@ -251,14 +293,13 @@ def cosine_neardup_pairs_lsh(
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
     )
-    # Per-vector squared norms computed ONCE (|V| rows) and joined onto
-    # the candidate pairs: the pair stage then evaluates a single a·b
-    # dot instead of three — the dominant cost, since LSH at a loose
-    # threshold admits ~50× more candidates than survivors. norm_sq
-    # (not norm) is stored so sqrt(aa·bb) reproduces cosine_col's exact
-    # float arithmetic bit-for-bit.
+    # Per-vector squared norms computed ONCE (|V| rows) and
+    # broadcast-joined onto the candidate occurrences: the pair stage
+    # evaluates a single a·b dot instead of three — the dominant cost,
+    # since LSH at a loose threshold admits ~50× more candidates than
+    # survivors. norm_sq (not norm) is stored so sqrt(aa·bb) reproduces
+    # cosine_col's exact float arithmetic bit-for-bit.
     vd = vectors.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("norm_sq", dot_col(F.col("v"), F.col("v")))
@@ -268,16 +309,38 @@ def cosine_neardup_pairs_lsh(
     vb = vd.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm_sq").alias("bb")
     )
-    cos = F.round(
-        dot_col(F.col("va"), F.col("vb"))
-        / F.nullif(F.sqrt(F.col("aa") * F.col("bb")), F.lit(0.0)),
-        6,
+    # Per-pair scoring, three deliberate choices (each A/B'd at sf1.0,
+    # 51.5M candidate occurrences):
+    # 1. The HOF dot (dot_col), NOT the unrolled dot_expr: inside this
+    #    join+filter+aggregate stage the 64-term unrolled chain makes
+    #    C2 bail on the generated method and the whole stage runs ~7×
+    #    slower (104 s vs 15 s measured) — the compact HOF call keeps
+    #    the generated class JIT-able.
+    # 2. round() is kept OUT of the per-pair hot path: Spark's round on
+    #    doubles goes through BigDecimal.valueOf → Double.toString
+    #    (caught on the thread dump at multiple core-μs per call), so
+    #    the join-side filter uses the RAW cosine with a conservative
+    #    margin — round-half-up at 6 decimals moves a value by < 5e-7,
+    #    so every pair whose ROUNDED cos ≥ t has raw ≥ t - 1e-6 — and
+    #    the exact round(…) ≥ t filter runs only on the ~0.5% margin
+    #    survivors, keeping the output set bit-identical.
+    # 3. Dedup via groupBy + first(), NOT .distinct(): cos is a
+    #    function of the pair, so first() over an all-identical group
+    #    equals distinct(), while keeping the aggregate keys to two
+    #    longs (distinct() would make the round(dot…) chain a group
+    #    key, re-evaluated in the aggregate's hash/equality code —
+    #    measured 105 s vs 5.8 s for the dedup stage).
+    raw = dot_col(F.col("va"), F.col("vb")) / F.nullif(
+        F.sqrt(F.col("aa") * F.col("bb")), F.lit(0.0)
     )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", cos)
+        .filter(raw >= F.lit(float(threshold) - 1e-6))
+        .withColumn("cos", F.round(raw, 6))
         .filter(F.col("cos") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("cos").alias("cos"))
         .select("id_a", "id_b", "cos")
     )
 
@@ -289,6 +352,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     carry_norms: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine
     (deterministic tie-break on centroid id). Centroids broadcast.
@@ -301,15 +365,15 @@ def ivf_assign(
         centroids.select(
             F.col(centroid_id_col).alias("centroid_id"), F.col(vec_col).alias("c_raw")
         ),
-        "c_raw", "c_vec", "c_ns",
+        "c_raw", "c_vec", "c_ns", dim,
     ).drop("c_raw")
     scored = _with_norm_sq(
         vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_raw")),
-        "v_raw", "v_vec", "v_ns",
+        "v_raw", "v_vec", "v_ns", dim,
     ).join(F.broadcast(c)).withColumn(
         "cos",
         prenorm_cosine_col(
-            F.col("v_vec"), F.col("v_ns"), F.col("c_vec"), F.col("c_ns")
+            F.col("v_vec"), F.col("v_ns"), F.col("c_vec"), F.col("c_ns"), dim
         ),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
@@ -327,6 +391,7 @@ def ivf_probe_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, centroid_id, q_vec, q_ns): each query's top-``nprobe``
     centroid buckets (deterministic tie-break on centroid id) — the
@@ -338,15 +403,15 @@ def ivf_probe_assign(
         centroids.select(
             F.col(centroid_id_col).alias("centroid_id"), F.col(vec_col).alias("c_raw")
         ),
-        "c_raw", "c_vec", "c_ns",
+        "c_raw", "c_vec", "c_ns", dim,
     ).drop("c_raw")
     scored = _with_norm_sq(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_raw")),
-        "q_raw", "q_vec", "q_ns",
+        "q_raw", "q_vec", "q_ns", dim,
     ).join(F.broadcast(c)).withColumn(
         "cos",
         prenorm_cosine_col(
-            F.col("q_vec"), F.col("q_ns"), F.col("c_vec"), F.col("c_ns")
+            F.col("q_vec"), F.col("q_ns"), F.col("c_vec"), F.col("c_ns"), dim
         ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
@@ -365,22 +430,23 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k searching the query's ``nprobe`` nearest centroid
     buckets (a neighbor lives in exactly one bucket, so multi-probe
     needs no dedup — just a wider probe join feeding the same global
     per-query top-k)."""
     assigned = ivf_assign(
-        vectors, centroids, id_col, vec_col, carry_norms=True
+        vectors, centroids, id_col, vec_col, carry_norms=True, dim=dim
     ).withColumnRenamed("vec_id", "neighbor_id")
-    q_assigned = ivf_probe_assign(queries, centroids, nprobe, id_col, vec_col)
+    q_assigned = ivf_probe_assign(queries, centroids, nprobe, id_col, vec_col, dim=dim)
     scored = (
         assigned.join(F.broadcast(q_assigned), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos",
             prenorm_cosine_col(
-                F.col("q_vec"), F.col("q_ns"), F.col("v_vec"), F.col("v_ns")
+                F.col("q_vec"), F.col("q_ns"), F.col("v_vec"), F.col("v_ns"), dim
             ),
         )
         # undefined similarity (zero-norm vector) is not a neighbor

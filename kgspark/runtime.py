@@ -64,6 +64,32 @@ def materialize(df: DataFrame, enabled: bool | None = None) -> DataFrame:
     return out
 
 
+def spread(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
+    """Repartition ``df`` to the session's shuffle-partition count,
+    hashed on ``cols`` (deterministic high-cardinality keys — guide
+    §2.5 warns off rand-derived ones; keyless round-robin pays a
+    sort-before-repartition of the input).
+
+    Use on the PROBE side of a fan-out join (band-bucket self-joins,
+    prefix-filter joins): those sides are typically a persisted
+    aggregate or a single small parquet file, so they arrive in one
+    (AQE-coalesced) partition — and since a broadcast join adds no
+    exchange, the entire multi-10⁷-row join output would then be
+    produced and consumed by a SINGLE task (measured: the round-6
+    ann/ngram rewrites ran one core at 100% for 19+ min before this).
+    The repartition costs one tiny shuffle of the pre-fan-out rows and
+    buys full-cluster parallelism for the explosion. ``n`` is
+    scale-adaptive by default: ``spark.sql.shuffle.partitions`` (the
+    local core count here, the configured cluster value in
+    production), never a hard-coded constant.
+    """
+    from pyspark.sql import functions as F
+
+    if n is None:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def release_materialized() -> int:
     """Unpersist every frame ``materialize`` registered since the last
     release; returns how many were released. Call after the consuming

@@ -61,8 +61,20 @@ def get_spark(
     if local_dir is None and os.path.isdir("/dev/shm"):
         local_dir = "/dev/shm/kgspark-local"
 
+    # Whole-stage codegen emits one Java method per operator pipeline;
+    # wide unrolled expressions (the 64-term dot_expr chains in
+    # operators/similarity.py) exceed HotSpot's 8 KB bytecode JIT cap
+    # and would run in the bytecode interpreter — measured 8× slower
+    # than JIT'd on the LSH pair-scoring stage. Lifting
+    # DontCompileHugeMethods lets C2 compile them; on a cluster the
+    # same flag goes on the executors (set below; in local mode the
+    # driver JVM is the executor). Standard Spark codegen tuning.
+    jit_flags = "-XX:-DontCompileHugeMethods"
+
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.extraJavaOptions", jit_flags)
+        .config("spark.executor.extraJavaOptions", jit_flags)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
