@@ -943,7 +943,7 @@ def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for the first 5 query vectors."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.cosine_topk(emb, queries, k=10, dim=64)
+    return similarity.cosine_topk(emb, queries, k=10)
 
 
 def _hyperplane_lsh_sql(
@@ -1022,7 +1022,7 @@ def ann_ivf_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(emb, queries, centroids, k=10, nprobe=3, dim=64)
+    return similarity.ivf_topk(emb, queries, centroids, k=10, nprobe=3)
 
 
 _EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in textops.LANG_STOPWORDS["en"]) + "]"

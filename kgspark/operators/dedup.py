@@ -277,29 +277,42 @@ def ngram_jaccard_pairs(
     observable via ``ngram_hub_shingles``. Pass ``max_doc_freq=None``
     for the uncapped textbook definition (test/oracle scale only).
     """
+    from pyspark.sql.window import Window
+
     # the shingle stream feeds the DF table and the per-doc grouping —
     # materialize so the tokenize+shingle explode runs once
     sh = materialize(_shingled(docs, id_col, text_col, shingle_n))
     df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     if max_doc_freq is not None:
         df_tbl = df_tbl.filter(F.col("_df") <= max_doc_freq)
-    shd = sh.join(df_tbl, "shingle")
 
-    # per-doc shingle set, sorted rarest-first (df asc, shingle asc —
-    # a strict total order: shingles are unique); n_sh is the capped
-    # set size, identical to the old sizes aggregation
+    # Dictionary-encode the vocabulary: rank = row_number over
+    # (df asc, shingle asc) — an injective, order-preserving map, so
+    # (a) joining/grouping/intersecting on ranks yields exactly the
+    # counts the string shingles would, and (b) integer order IS the
+    # rarest-first prefix order, so per-doc sets need no struct sort.
+    # Everything downstream of the DF table then moves 4-byte ints
+    # instead of ~25-byte strings (guide §2.3 narrower types) — the
+    # prefix join keys, the 10⁷-row candidate aggregation, and the
+    # per-candidate array intersections all shrink. The rank window is
+    # a single-partition pass over the VOCABULARY (27.9k rows at sf1.0
+    # — orders of magnitude below the corpus); at warehouse scale this
+    # is the standard sorted dictionary build (range-partitioned sort +
+    # per-partition offsets), not a corpus-sized window.
+    rank_tbl = df_tbl.select(
+        "shingle",
+        F.row_number()
+        .over(Window.orderBy("_df", "shingle"))
+        .alias("_rk"),
+    )
+    shd = sh.join(rank_tbl, "shingle")
+
+    # per-doc shingle-rank set, ascending == rarest-first; n_sh is the
+    # capped set size, identical to the old sizes aggregation
     grouped = materialize(
         shd.groupBy("doc_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
-            ).alias("_ss")
-        )
-        .select(
-            "doc_id",
-            F.col("_ss.shingle").alias("_sh_sorted"),
-            F.size("_ss").alias("n_sh"),
-        )
+        .agg(F.sort_array(F.collect_list(F.col("_rk"))).alias("_rks"))
+        .select("doc_id", "_rks", F.size("_rks").alias("n_sh"))
     )
 
     t = float(threshold)
@@ -312,7 +325,7 @@ def ngram_jaccard_pairs(
     pfx = spread(grouped, "doc_id").select(
         "doc_id",
         "n_sh",
-        F.explode(F.slice(F.col("_sh_sorted"), F.lit(1), plen)).alias("shingle"),
+        F.explode(F.slice(F.col("_rks"), F.lit(1), plen)).alias("_rk"),
     )
 
     a = pfx.alias("a")
@@ -320,7 +333,7 @@ def ngram_jaccard_pairs(
     cand = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a._rk") == F.col("b._rk"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # size-ratio prune: j ≥ t needs min(n_a,n_b) ≥ t·max(n_a,n_b)
             & (F.col("a.n_sh") >= F.lit(t) * F.col("b.n_sh"))
@@ -344,10 +357,10 @@ def ngram_jaccard_pairs(
     )
 
     ga = grouped.select(
-        F.col("doc_id").alias("doc_a"), F.col("_sh_sorted").alias("_sha")
+        F.col("doc_id").alias("doc_a"), F.col("_rks").alias("_sha")
     )
     gb = grouped.select(
-        F.col("doc_id").alias("doc_b"), F.col("_sh_sorted").alias("_shb")
+        F.col("doc_id").alias("doc_b"), F.col("_rks").alias("_shb")
     )
     return (
         cand.join(ga, "doc_a")

@@ -37,27 +37,16 @@ def dot_col(a: Column, b: Column) -> Column:
     )
 
 
-def dot_expr(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Dot product; with ``dim`` known, an unrolled add-chain
-    ``(((0.0 + a[0]·b[0]) + a[1]·b[1]) + …`` instead of the HOF
-    aggregate. Bit-for-bit the same result: identical IEEE multiply
-    and left-fold add order, the leading ``0.0`` matching the fold's
-    init (so even a degenerate all ``-0.0`` product row folds to the
-    same ``+0.0``), and an out-of-range ``getItem`` yields NULL exactly
-    where ``zip_with``'s padding nulls the HOF sum. The win is purely
-    mechanical: HigherOrderFunction expressions are CodegenFallback
-    (interpreted, one closure call per element plus a per-row array
-    allocation for ``zip_with``), while the unrolled chain whole-stage
-    codegens — measured ~8× on the LSH pair-scoring stage. One dot
-    stays within the JIT method-size limit; do NOT fuse 16+ of these
-    into a single projection (see hyperplane note below).
-    """
-    if dim is None:
-        return dot_col(a, b)
-    acc: Column = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + a.getItem(i) * b.getItem(i)
-    return acc
+# NOTE (round 6 A/B, kept so it is not re-tried): an UNROLLED add-chain
+# dot — (((0.0 + a[0]·b[0]) + a[1]·b[1]) + … — is bit-identical to the
+# HOF fold and whole-stage codegens, and it looked like the obvious win
+# over the CodegenFallback HOF. Measured at sf1.0 it is a trap: the
+# 64-term chain inflates the generated method past what C2 compiles
+# promptly, every re-built plan re-generates a distinct class (fresh
+# JIT each bench iteration), and in join+aggregate stage shapes the
+# stage ran up to 7× SLOWER than the HOF form (104 s vs 15 s on the
+# LSH pair stage; 12.5 s vs 2.0 s on IVF assign). The compact HOF call
+# keeps every generated class small and predictable — it stays.
 
 
 def cosine_col(a: Column, b: Column) -> Column:
@@ -78,26 +67,23 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / denom
 
 
-def prenorm_cosine_col(a_vec, a_norm_sq, b_vec, b_norm_sq, dim: int | None = None) -> Column:
+def prenorm_cosine_col(a_vec, a_norm_sq, b_vec, b_norm_sq) -> Column:
     """cosine from per-side precomputed SQUARED norms — one dot per
     pair instead of three. sqrt(aa·bb) reproduces ``cosine_col``'s
     exact float arithmetic bit-for-bit (that is why norm_sq, not norm,
     is carried); same NULL-on-zero-norm guard. Use whenever one side of
     a scoring join is reused across many pairs (top-k, IVF, LSH
     confirm) — the 06b91eb A/B measured ~2× on ann_cosine_topk and
-    ~2.3× on the LSH confirm stage. Pass ``dim`` when the vector width
-    is known so the pair dot codegens (``dot_expr``)."""
-    return dot_expr(a_vec, b_vec, dim) / F.nullif(
+    ~2.3× on the LSH confirm stage."""
+    return dot_col(a_vec, b_vec) / F.nullif(
         F.sqrt(a_norm_sq * b_norm_sq), F.lit(0.0)
     )
 
 
-def _with_norm_sq(
-    df: DataFrame, vec_in: str, vec_out: str, ns_out: str, dim: int | None = None
-) -> DataFrame:
+def _with_norm_sq(df: DataFrame, vec_in: str, vec_out: str, ns_out: str) -> DataFrame:
     """Project ``vec_in`` to a double vector + its squared norm."""
     d = df.withColumn(vec_out, _as_double(F.col(vec_in)))
-    return d.withColumn(ns_out, dot_expr(F.col(vec_out), F.col(vec_out), dim))
+    return d.withColumn(ns_out, dot_col(F.col(vec_out), F.col(vec_out)))
 
 
 def cosine_topk(
@@ -107,34 +93,32 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
-    dim: int | None = None,
 ) -> DataFrame:
     """For every query vector: top-k nearest by cosine (self excluded).
 
     ``queries`` must be broadcast-small; the join is a broadcast
     nested-loop over the (distributed) vector table. Squared norms are
     computed once per side (|Q| + |V| rows) so the |Q|·|V| pair stage
-    evaluates a single dot product per pair — codegen'd when ``dim``
-    is known (dot_expr).
+    evaluates a single dot product per pair.
     """
     q = _with_norm_sq(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_raw")
         ),
-        "q_raw", "q_vec", "q_ns", dim,
+        "q_raw", "q_vec", "q_ns",
     ).drop("q_raw")
     v = _with_norm_sq(
         vectors.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_raw")
         ),
-        "v_raw", "v_vec", "v_ns", dim,
+        "v_raw", "v_vec", "v_ns",
     ).drop("v_raw")
     scored = (
         v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos",
             prenorm_cosine_col(
-                F.col("q_vec"), F.col("q_ns"), F.col("v_vec"), F.col("v_ns"), dim
+                F.col("q_vec"), F.col("q_ns"), F.col("v_vec"), F.col("v_ns")
             ),
         )
         # undefined similarity (zero-norm vector) is not a neighbor
@@ -352,7 +336,6 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     carry_norms: bool = False,
-    dim: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine
     (deterministic tie-break on centroid id). Centroids broadcast.
@@ -365,15 +348,15 @@ def ivf_assign(
         centroids.select(
             F.col(centroid_id_col).alias("centroid_id"), F.col(vec_col).alias("c_raw")
         ),
-        "c_raw", "c_vec", "c_ns", dim,
+        "c_raw", "c_vec", "c_ns",
     ).drop("c_raw")
     scored = _with_norm_sq(
         vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_raw")),
-        "v_raw", "v_vec", "v_ns", dim,
+        "v_raw", "v_vec", "v_ns",
     ).join(F.broadcast(c)).withColumn(
         "cos",
         prenorm_cosine_col(
-            F.col("v_vec"), F.col("v_ns"), F.col("c_vec"), F.col("c_ns"), dim
+            F.col("v_vec"), F.col("v_ns"), F.col("c_vec"), F.col("c_ns")
         ),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
@@ -391,7 +374,6 @@ def ivf_probe_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
-    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, centroid_id, q_vec, q_ns): each query's top-``nprobe``
     centroid buckets (deterministic tie-break on centroid id) — the
@@ -403,15 +385,15 @@ def ivf_probe_assign(
         centroids.select(
             F.col(centroid_id_col).alias("centroid_id"), F.col(vec_col).alias("c_raw")
         ),
-        "c_raw", "c_vec", "c_ns", dim,
+        "c_raw", "c_vec", "c_ns",
     ).drop("c_raw")
     scored = _with_norm_sq(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_raw")),
-        "q_raw", "q_vec", "q_ns", dim,
+        "q_raw", "q_vec", "q_ns",
     ).join(F.broadcast(c)).withColumn(
         "cos",
         prenorm_cosine_col(
-            F.col("q_vec"), F.col("q_ns"), F.col("c_vec"), F.col("c_ns"), dim
+            F.col("q_vec"), F.col("q_ns"), F.col("c_vec"), F.col("c_ns")
         ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
@@ -430,23 +412,22 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
-    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k searching the query's ``nprobe`` nearest centroid
     buckets (a neighbor lives in exactly one bucket, so multi-probe
     needs no dedup — just a wider probe join feeding the same global
     per-query top-k)."""
     assigned = ivf_assign(
-        vectors, centroids, id_col, vec_col, carry_norms=True, dim=dim
+        vectors, centroids, id_col, vec_col, carry_norms=True
     ).withColumnRenamed("vec_id", "neighbor_id")
-    q_assigned = ivf_probe_assign(queries, centroids, nprobe, id_col, vec_col, dim=dim)
+    q_assigned = ivf_probe_assign(queries, centroids, nprobe, id_col, vec_col)
     scored = (
         assigned.join(F.broadcast(q_assigned), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos",
             prenorm_cosine_col(
-                F.col("q_vec"), F.col("q_ns"), F.col("v_vec"), F.col("v_ns"), dim
+                F.col("q_vec"), F.col("q_ns"), F.col("v_vec"), F.col("v_ns")
             ),
         )
         # undefined similarity (zero-norm vector) is not a neighbor

@@ -87,6 +87,12 @@ def run_pipeline(
         # partition instead of appending, so a crash between the parquet
         # job commit and the manifest record cannot duplicate facts on
         # resume (the bucket is simply rewritten with identical content).
+        # (Round-6 A/B, kept so it is not re-tried: hoisting this bucket
+        # repartition ABOVE extract_facts to widen the extraction stage
+        # was measured SLOWER at sf1.0 — the kernel is cheap per page
+        # and the hoist shuffles the raw ~100 MB html payload instead
+        # of the extracted facts; guide §8's "move heavy bytes once"
+        # cuts the other way here.)
         (
             facts.repartition(len(todo), "bucket")
             .write.mode("overwrite")
