@@ -295,3 +295,74 @@ def test_ngram_hub_shingle_cap_drops_boilerplate(spark):
         for r in dedup.ngram_hub_shingles(docs, max_doc_freq=2).collect()
     }
     assert dropped and all(v == 3 for v in dropped.values())
+
+
+def test_ngram_prefix_filter_matches_bruteforce_inverted_join(spark):
+    """The round-6 AllPairs/PPJoin rewrite of ngram_jaccard_pairs
+    (rank-encoded k-prefix + size-ratio + k-overlap candidate filter +
+    array_intersect verify) must return EXACTLY the pairs of the
+    textbook shingle-inverted self-join, across thresholds and on the
+    edge shapes the prunes cut closest to: tiny docs whose qualifying
+    overlap is below prefix_k, identical docs, and size-ratio
+    borderline pairs."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from kgspark.operators.fulltext import tokenize_col
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = []
+    i = 0
+    # random docs of widely varying length, incl. BELOW the 3-token
+    # shingle minimum and below prefix_k qualifying overlaps
+    for n_tok in (3, 4, 5, 8, 20, 40):
+        for _ in range(10):
+            docs.append((i, " ".join(rng.choice(vocab) for _ in range(n_tok))))
+            i += 1
+    # identical and 1-edit pairs (jaccard 1.0 and just-below)
+    base = [rng.choice(vocab) for _ in range(12)]
+    docs.append((900, " ".join(base)))
+    docs.append((901, " ".join(base)))
+    edited = list(base)
+    edited[5] = "zz"
+    docs.append((902, " ".join(edited)))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def brute(threshold, max_doc_freq):
+        sh = (
+            sdf.withColumn("toks", tokenize_col(F.col("text")))
+            .select(
+                "doc_id",
+                F.explode(dedup.word_shingles_col(F.col("toks"), 3)).alias("s"),
+            )
+        )
+        if max_doc_freq is not None:
+            kept = (
+                sh.groupBy("s").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_doc_freq).select("s")
+            )
+            sh = sh.join(kept, "s")
+        rows = sh.collect()
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, set()).add(r.s)
+        out = set()
+        for a, b in itertools.combinations(sorted(by_doc), 2):
+            inter = len(by_doc[a] & by_doc[b])
+            if inter == 0:
+                continue
+            j = round(inter / (len(by_doc[a]) + len(by_doc[b]) - inter), 6)
+            if j >= threshold:
+                out.add((a, b, j))
+        return out
+
+    for threshold, cap in ((0.5, None), (0.5, 3), (0.8, None), (0.3, None)):
+        got = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(
+                sdf, threshold=threshold, max_doc_freq=cap
+            ).collect()
+        }
+        assert got == brute(threshold, cap), (threshold, cap)

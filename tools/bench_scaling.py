@@ -111,7 +111,11 @@ def steal_fraction() -> tuple[int, int]:
         with open("/proc/stat") as fh:
             fields = fh.readline().split()[1:]
         vals = [int(x) for x in fields]
-        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+        # total = user..steal only (fields 0-7): guest/guest_nice are
+        # already accounted inside user/nice, so including them would
+        # double-count jiffies on guest-running hosts and understate
+        # steal_pct (round-5 ADVICE fix)
+        return (vals[7] if len(vals) > 7 else 0, sum(vals[:8]))
     except OSError:
         return (0, 0)
 

@@ -11,11 +11,11 @@ window. This probe measures that window cheaply (~45 s):
     python tools/box_probe.py --watch    # repeat every 600 s, log lines
 
 A window is "quiet" when the pure-Python multiprocessing burn scales
-2→8 procs at ≥0.85 AND per-proc throughput at 8 procs is within 25%
-of the 2-proc figure's historical best — i.e. the host can actually
-deliver 8 concurrent fast cores, which is the precondition for the
-N→4N gate to be measurable at all (BENCH/BASELINE.md round-5
-addendum).
+2→8 procs with cpu_scaling_efficiency ≥ 0.85 AND
+busy_thread_scaling_efficiency ≥ 0.75 (the rule the code and
+tests/test_scaling_tools.py pin) — i.e. the host can actually deliver
+8 concurrent fast cores, which is the precondition for the N→4N gate
+to be measurable at all (BENCH/BASELINE.md round-5 addendum).
 """
 
 from __future__ import annotations
