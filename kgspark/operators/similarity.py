@@ -265,9 +265,8 @@ def cosine_neardup_pairs_lsh(
     # every duplicate occurrence carries the identical (id_a, id_b,
     # cos) row and distinct returns the same set the old
     # distinct-then-score produced. The extra cost (scoring duplicate
-    # occurrences, ≤ bands× and ~1.2× measured) is paid in a codegen'd
-    # no-shuffle stage; the scoring dot itself is the unrolled
-    # dot_expr (~8× the HOF form).
+    # occurrences, ≤ bands× and ~1.1× measured) is paid in a
+    # no-shuffle stage.
     cand = (
         banded.alias("l")
         .join(
@@ -295,7 +294,7 @@ def cosine_neardup_pairs_lsh(
     )
     # Per-pair scoring, three deliberate choices (each A/B'd at sf1.0,
     # 51.5M candidate occurrences):
-    # 1. The HOF dot (dot_col), NOT the unrolled dot_expr: inside this
+    # 1. The HOF dot (dot_col), NOT an unrolled add-chain: inside this
     #    join+filter+aggregate stage the 64-term unrolled chain makes
     #    C2 bail on the generated method and the whole stage runs ~7×
     #    slower (104 s vs 15 s measured) — the compact HOF call keeps

@@ -62,13 +62,16 @@ def get_spark(
         local_dir = "/dev/shm/kgspark-local"
 
     # Whole-stage codegen emits one Java method per operator pipeline;
-    # wide unrolled expressions (the 64-term dot_expr chains in
-    # operators/similarity.py) exceed HotSpot's 8 KB bytecode JIT cap
-    # and would run in the bytecode interpreter — measured 8× slower
-    # than JIT'd on the LSH pair-scoring stage. Lifting
-    # DontCompileHugeMethods lets C2 compile them; on a cluster the
-    # same flag goes on the executors (set below; in local mode the
-    # driver JVM is the executor). Standard Spark codegen tuning.
+    # wide generated methods (e.g. the 64-partial-sum simhash aggregate,
+    # operators/dedup.py) can exceed HotSpot's 8 KB bytecode JIT cap
+    # and fall back to the bytecode interpreter. Lifting
+    # DontCompileHugeMethods lets C2 compile them (simhash pair stage
+    # A/B at sf1.0: 5.5 s vs 6.1 s); on a cluster the same flag goes on
+    # the executors (set below; in local mode the driver JVM is the
+    # executor). Standard Spark codegen tuning. NOTE: the flag is a
+    # mitigation, not a license for giant expressions — a 64-term
+    # unrolled dot chain still measured far slower than the compact HOF
+    # dot (see the A/B note in operators/similarity.py).
     jit_flags = "-XX:-DontCompileHugeMethods"
 
     builder = (
