@@ -317,7 +317,14 @@ def ngram_jaccard_pairs(
 
     t = float(threshold)
     k = int(prefix_k)
-    plen = (F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + F.lit(k)).cast("int")
+    # greatest(1, ·): for a degenerate threshold > 1 the formula goes
+    # non-positive and slice() would raise; a 1-shingle prefix keeps the
+    # plan valid and the verify filter (j ≥ t > 1) still returns the
+    # correct empty set
+    plen = F.greatest(
+        F.lit(1),
+        (F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + F.lit(k)).cast("int"),
+    )
     # spread BEFORE the explode+self-join: grouped is a persisted
     # aggregate (1-2 AQE-coalesced partitions), and the prefix join
     # below is broadcast — without the repartition the whole multi-10⁷
