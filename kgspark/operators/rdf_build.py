@@ -50,6 +50,7 @@ from kgspark.functions.textfns import (
     multi_or_raw_col,
     trim_all,
 )
+from kgspark.runtime import materialize
 
 _TRIPLE_SCHEMA = "subj string, pred string, obj string, obj_kind string, obj_dtype string, obj_lang string"
 
@@ -199,7 +200,11 @@ def triple_parts(
     extra = [provenance_col] if provenance_col else []
     base = prepare_facts(facts, order_col, extra)
     if persist_base:
-        base = base.persist()
+        # materialize(), not raw persist(): this was the one reuse
+        # boundary release_materialized() could not free — every bench
+        # run of kg_pipeline_triples (and every pipeline run) pinned a
+        # dead cached copy of the fact base for the session's lifetime.
+        base = materialize(base)
     mentions = mention_stream(base, order_col, extra_cols=extra)
     ridx = F.col(order_col)
     prov = F.col(provenance_col) if provenance_col else F.lit(None).cast("string")

@@ -96,6 +96,68 @@ def test_hyperplane_lsh_subset_and_recall(spark):
     assert recall >= 0.9, (recall, len(exact), len(lsh))
 
 
+def test_lsh_cascade_scoring_bit_identical_to_direct(spark):
+    """The round-6 prefix-bound cascade (engaged at threshold >= 0.85)
+    must return EXACTLY the rows of the direct single-fold scoring
+    path — same pairs, same cos bits — at a dim that genuinely splits
+    the fold (dim > prefix 16), including planted near-dups, a
+    zero-norm vector, and negatively-correlated pairs."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kgspark.operators import similarity
+    from kgspark.operators.similarity import (
+        _CASCADE_MIN_THRESHOLD,
+        _scored_pairs_cascade,
+        _scored_pairs_direct,
+        hyperplane_signature_bands,
+    )
+
+    dim = 20
+    vecs = _mk_vectors(spark, n=60, dim=dim, seed=11)
+    rows = vecs.collect()
+    extra = [(7000, [0.0] * dim)] + [
+        (7001 + i, [-x for x in r.embedding]) for i, r in enumerate(rows[:5])
+    ]
+    vecs = vecs.union(
+        spark.createDataFrame(extra, "vec_id long, embedding array<float>")
+    )
+    banded = hyperplane_signature_bands(vecs, dim, 16, 4, "vec_id", "embedding")
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+    for t in (0.9, 0.95):
+        assert t >= _CASCADE_MIN_THRESHOLD
+        direct = {
+            (r.id_a, r.id_b): r.cos
+            for r in _scored_pairs_direct(cand, vecs, t, "vec_id", "embedding").collect()
+        }
+        cascade = {
+            (r.id_a, r.id_b): r.cos
+            for r in _scored_pairs_cascade(cand, vecs, t, "vec_id", "embedding").collect()
+        }
+        assert direct, f"fixture must produce pairs at t={t}"
+        assert cascade == direct, t
+    # and the public operator dispatches to the cascade above the gate
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in similarity.cosine_neardup_pairs_lsh(
+            vecs, threshold=0.95, dim=dim
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.cos
+        for r in _scored_pairs_cascade(cand, vecs, 0.95, "vec_id", "embedding").collect()
+    }
+    assert got == want
+
+
 def test_lsh_bucket_cap_skips_degenerate_bucket(spark):
     """One boilerplate bucket (many docs with identical band signatures)
     must not go quadratic: with the cap it contributes no pairs, is
