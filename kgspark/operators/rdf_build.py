@@ -50,6 +50,8 @@ from kgspark.functions.textfns import (
     multi_or_raw_col,
     trim_all,
 )
+from pyspark import StorageLevel
+
 from kgspark.runtime import materialize
 
 _TRIPLE_SCHEMA = "subj string, pred string, obj string, obj_kind string, obj_dtype string, obj_lang string"
@@ -204,7 +206,10 @@ def triple_parts(
         # boundary release_materialized() could not free — every bench
         # run of kg_pipeline_triples (and every pipeline run) pinned a
         # dead cached copy of the fact base for the session's lifetime.
-        base = materialize(base)
+        # The explicit level keeps raw persist()'s deserialized cache
+        # (base is read by nine narrow branches within a single job;
+        # a serialized cache would pay per-branch decode).
+        base = materialize(base, level=StorageLevel.MEMORY_AND_DISK_DESER)
     mentions = mention_stream(base, order_col, extra_cols=extra)
     ridx = F.col(order_col)
     prov = F.col(provenance_col) if provenance_col else F.lit(None).cast("string")

@@ -31,6 +31,7 @@ from kgspark.extract.ner import EXTRACT_SCHEMA, extract_facts
 from kgspark.operators.graph_build import edges_from_triples, nodes_from_triples
 from kgspark.operators.linking import link_facts
 from kgspark.operators.rdf_build import build_triples
+from kgspark.runtime import release_materialized
 from kgspark.sources.table_format import DEFAULT_FORMAT, TableFormat
 
 
@@ -199,4 +200,10 @@ def run_pipeline(
             "nodes": m.get("nodes"), "edges": m.get("edges"), "sec": 0.0, "resumed": True,
         }
 
+    # Every stage output is on disk and re-read from parquet above, so
+    # any reuse-boundary cache the stages registered (build_triples'
+    # fact base, linking internals) is dead weight now — free it, or a
+    # session running the pipeline repeatedly (bench.py's median-of-N
+    # loop) accumulates a pinned copy per run.
+    release_materialized()
     return metrics

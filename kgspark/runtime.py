@@ -50,16 +50,23 @@ def materialize_enabled() -> bool:
     return os.environ.get("KGSPARK_MATERIALIZE", "1") != "0"
 
 
-def materialize(df: DataFrame, enabled: bool | None = None) -> DataFrame:
-    """Persist ``df`` (MEMORY_AND_DISK) at a reuse boundary (see module
-    docstring) and register it for ``release_materialized``; identity
-    when disabled. Lazy: the first consuming action computes and caches
-    the subtree, later consumers read the cache."""
+def materialize(
+    df: DataFrame,
+    enabled: bool | None = None,
+    level: StorageLevel | None = None,
+) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK by default) at a reuse boundary
+    (see module docstring) and register it for ``release_materialized``;
+    identity when disabled. Lazy: the first consuming action computes
+    and caches the subtree, later consumers read the cache. ``level``
+    overrides the storage level for call sites whose read pattern wants
+    the deserialized cache (e.g. a base read by many narrow branches
+    inside one job — rdf_build.triple_parts)."""
     if enabled is None:
         enabled = materialize_enabled()
     if not enabled:
         return df
-    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out = df.persist(level if level is not None else StorageLevel.MEMORY_AND_DISK)
     _LIVE.append(out)
     return out
 
